@@ -1,0 +1,88 @@
+"""Configuration dataclasses for the simulation engine.
+
+The reference's "config system" is positional argv per binary plus hard-coded
+constants (reference: examples/benchmark_mc_gpu.cpp:50-61, THREADS_PER_BLOCK
+in src/simulations.cu:17, initial_capital=1000 in examples/benchmark_mc_cpu.cpp).
+Here configuration is explicit and serializable; the CLI layer maps the
+reference's argv conventions onto these dataclasses.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Optional
+
+DEFAULT_INITIAL_CAPITAL = 1000.0
+# Gaussian market defaults: 6%/yr mean, 10%/yr std, expressed monthly in
+# percent (reference: examples/monte_carlo_simulated.cpp:11-13).
+DEFAULT_GAUSSIAN_MEAN_PCT = 6.0 / 12
+DEFAULT_GAUSSIAN_STD_PCT = 10.0 / 12
+
+
+@dataclasses.dataclass(frozen=True)
+class EngineOptions:
+    """Execution knobs; all have TPU-sensible defaults.
+
+    ``path_tile`` is the number of paths simulated per Pallas grid step —
+    the moral equivalent of the reference's CUDA block (THREADS_PER_BLOCK=256,
+    src/simulations.cu:17), except tiles here are 2D (sublane x lane) vector
+    registers. It also fixes the granularity of the counter-based RNG: the
+    stream for tile ``i`` depends only on the *global* tile index, so results
+    are invariant to how tiles are distributed over chips.
+    """
+
+    # 'auto' picks pallas on TPU, xla elsewhere.
+    backend: str = "auto"
+    # Paths per Pallas tile. Must be a multiple of 1024 (8 sublanes x 128
+    # lanes of fp32).
+    path_tile: int = 8192
+    # Paths per single device dispatch; large runs loop over macro-chunks of
+    # this size so the host can report progress and stay under HBM limits.
+    chunk_paths: int = 2**24
+    # Final-value histogram resolution (log-spaced bins).
+    histogram_bins: int = 4096
+    # When True, compute per-path final values in addition to fused stats
+    # (needed for exact quantiles; costs an HBM write of 4 bytes/path).
+    keep_final_values: bool = False
+    # Donate input buffers where profitable.
+    donate: bool = True
+    # Which jax.random implementation keys are created with (None = default).
+    rng_impl: Optional[str] = None
+
+    def __post_init__(self):
+        if self.path_tile % 1024 != 0:
+            raise ValueError(
+                f"path_tile must be a multiple of 1024, got {self.path_tile}"
+            )
+        if self.chunk_paths % self.path_tile != 0:
+            raise ValueError(
+                "chunk_paths must be a multiple of path_tile "
+                f"({self.chunk_paths} % {self.path_tile} != 0)"
+            )
+
+
+@dataclasses.dataclass(frozen=True)
+class SimulationConfig:
+    """One Monte Carlo experiment.
+
+    Mirrors the reference entry-point signature (max_n_simulations,
+    n_periods, initial_capital, returns-source; reference:
+    include/stock_market_monte_carlo/simulations.h:49-87) plus seed and
+    withdrawal strategy (the reference's open TODO, README.md:130-133).
+    """
+
+    n_paths: int
+    n_periods: int
+    initial_capital: float = DEFAULT_INITIAL_CAPITAL
+    seed: int = 0
+    # Below-target probability threshold (the GUI slider / count_below input,
+    # reference: examples/visualize_returns_cpu.cpp:121-134). None disables.
+    target_amount: Optional[float] = None
+
+    def __post_init__(self):
+        if self.n_paths <= 0:
+            raise ValueError(f"n_paths must be positive, got {self.n_paths}")
+        if self.n_periods <= 0:
+            raise ValueError(
+                f"n_periods must be positive, got {self.n_periods}"
+            )

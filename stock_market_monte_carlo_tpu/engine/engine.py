@@ -1,0 +1,565 @@
+"""The simulation engine: chunked, jitted, shardable.
+
+Capabilities mirror the reference's three engine families, re-designed for
+XLA's compilation model:
+
+- ``simulate_paths``    — v1 "keepdata" semantics (full trajectories; CPU:
+  src/simulations.cpp:139-202). Compounding is a parallel prefix product
+  (``cumprod``), not a serial loop, for all multiplicative strategies.
+- ``simulate_final_values`` — v2 final-only semantics (src/simulations.cpp:
+  204-266; GPU kernel src/simulations.cu:112-152). A single product
+  reduction per path.
+- ``simulate_stats``    — the ``reduceBlock`` idea taken to its limit
+  (src/simulations.cu:185-247): moments + histogram + count-below are
+  accumulated on device and only ~4 KB of statistics ever reach the host,
+  for any number of paths.
+
+Large runs stream through fixed-shape *chunks*: the host dispatch loop plays
+the role of the reference's multi-GPU async launcher (src/simulations.cu:
+576-655) — JAX's async dispatch overlaps chunk k+1's compute with chunk k's
+result fetch — and doubles as the progress counter. With a
+``jax.sharding.Mesh``, each chunk is ``shard_map``-ped over the path axis
+and per-device statistics are merged with ``psum`` over ICI, so the host is
+never a data hub (unlike the reference, where the CPU shuttles every buffer,
+src/simulations.cu:615-626).
+
+RNG is counter-based and keyed by global path position (see ops/rng.py):
+the same seed gives the same statistics on 1 chip or 256.
+"""
+
+from __future__ import annotations
+
+import time
+from functools import partial
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.sharding import Mesh, PartitionSpec as P
+
+from stock_market_monte_carlo_tpu.config import EngineOptions
+from stock_market_monte_carlo_tpu.engine.results import SimulationResult
+from stock_market_monte_carlo_tpu.models.market import (
+    GaussianReturns,
+    HistoricalBootstrap,
+    SobolGaussianReturns,
+    SobolHistoricalBootstrap,
+)
+from stock_market_monte_carlo_tpu.models.strategies import (
+    FixedAmountWithdrawal,
+    FixedPercentWithdrawal,
+    NoWithdrawal,
+    VariablePercentWithdrawal,
+    apply_month,
+)
+from stock_market_monte_carlo_tpu.ops import rng as rng_ops
+from stock_market_monte_carlo_tpu.ops import reductions as red
+
+KEY_TILE = rng_ops.KEY_TILE
+
+# ---------------------------------------------------------------------------
+# Host-side analytics used to place histogram bins.
+# ---------------------------------------------------------------------------
+
+
+def log_growth_moments(model) -> Tuple[float, float]:
+    """(mean, std) of log((100+r)/100) under the model, computed on host.
+
+    Gaussian models use 201-node Gauss–Hermite quadrature (exact to fp
+    precision for this smooth integrand); bootstrap models compute the exact
+    discrete moments of the table.
+    """
+    if isinstance(model, (GaussianReturns, SobolGaussianReturns)):
+        mean = float(np.asarray(model.mean_pct))
+        std = float(np.asarray(model.std_pct))
+        z, w = np.polynomial.hermite_e.hermegauss(201)
+        g = mean + std * z
+        g = np.clip(g, -99.99, None)
+        f = np.log((100.0 + g) / 100.0)
+        w = w / w.sum()
+        mu = float(np.sum(w * f))
+        var = float(np.sum(w * f * f) - mu * mu)
+    else:
+        table = np.asarray(model.returns_pct, np.float64)
+        f = np.log((100.0 + np.clip(table, -99.99, None)) / 100.0)
+        mu = float(f.mean())
+        var = float(f.var())
+    return mu, float(np.sqrt(max(var, 1e-30)))
+
+
+def make_histogram_spec(model, strategy, n_periods: int,
+                        initial_capital: float,
+                        n_bins: int) -> red.HistogramSpec:
+    mu, sigma = log_growth_moments(model)
+    if isinstance(strategy, FixedPercentWithdrawal):
+        mu += float(np.log(1.0 - float(np.asarray(strategy.percent)) / 100.0))
+    spec = red.default_histogram_spec(
+        initial_capital, n_periods, mu, sigma, n_bins
+    )
+    if not isinstance(strategy, NoWithdrawal):
+        # Withdrawals can drive funds toward zero; widen the low end. The
+        # underflow bin still catches fully depleted paths exactly.
+        spec = red.HistogramSpec(
+            lo=min(spec.lo, initial_capital * 1e-6 + 1e-30),
+            hi=spec.hi,
+            n_bins=n_bins,
+        )
+    return spec
+
+
+# ---------------------------------------------------------------------------
+# Traced building blocks.
+# ---------------------------------------------------------------------------
+
+
+def sample_growth(model, root_key, scramble_key, path_offset, shape):
+    """(B, T) growth factors (100 + r)/100 for global paths
+    [path_offset, path_offset + B). ``B`` must be a KEY_TILE multiple for
+    pseudo-random models (sharding invariance)."""
+    b, t = shape
+    if model.is_quasi:
+        r = model.sample_returns_pct_quasi(scramble_key, path_offset, shape)
+    else:
+        # Always sample at KEY_TILE granularity: draws for global path p
+        # then depend only on (seed, p // KEY_TILE, p % KEY_TILE), never on
+        # chunk size, device count, or entry point (v1 vs v2).
+        kt = KEY_TILE
+        assert b % kt == 0, (b, kt)
+        first_tile = (jnp.asarray(path_offset, jnp.uint32)
+                      // jnp.uint32(kt))
+        keys = rng_ops.path_tile_keys(root_key, first_tile, b // kt)
+        r = jax.vmap(
+            lambda k: model.sample_returns_pct(k, (kt, t))
+        )(keys).reshape(b, t)
+    return (jnp.float32(100.0) + r) * jnp.float32(0.01)
+
+
+def _is_multiplicative(strategy) -> bool:
+    return isinstance(
+        strategy,
+        (NoWithdrawal, FixedPercentWithdrawal, VariablePercentWithdrawal),
+    )
+
+
+def _keep_factors(strategy, n_periods: int):
+    """(T,) multiplicative keep-fraction per period, for multiplicative
+    strategies."""
+    if isinstance(strategy, NoWithdrawal):
+        return jnp.ones((n_periods,), jnp.float32)
+    if isinstance(strategy, FixedPercentWithdrawal):
+        keep = 1.0 - jnp.asarray(strategy.percent, jnp.float32) / 100.0
+        return jnp.full((n_periods,), 1.0, jnp.float32) * keep
+    sched = jnp.asarray(strategy.percent_schedule, jnp.float32)[:n_periods]
+    return 1.0 - sched / 100.0
+
+
+def compound_final(growth, v0, strategy):
+    """(B,) final values and (B,) total withdrawn from (B, T) growth."""
+    b, t = growth.shape
+    v0 = jnp.asarray(v0, jnp.float32)
+    if _is_multiplicative(strategy):
+        gk = growth * _keep_factors(strategy, t)[None, :]
+        finals = v0 * jnp.prod(gk, axis=1)
+        if isinstance(strategy, NoWithdrawal):
+            withdrawn = jnp.zeros((b,), jnp.float32)
+        else:
+            # Withdrawn in period t is grown_t * (1-keep_t); grown_t follows
+            # from the running product without a serial dependence.
+            run = v0 * jnp.cumprod(gk, axis=1)
+            keep = _keep_factors(strategy, t)[None, :]
+            grown = run / jnp.maximum(keep, 1e-30)
+            withdrawn = jnp.sum(grown * (1.0 - keep), axis=1)
+        return finals, withdrawn
+
+    def body(carry, x):
+        value, wsum = carry
+        g, idx = x
+        value, dw = apply_month(strategy, idx, value, g)
+        return (value, wsum + dw), None
+
+    init = (jnp.full((b,), v0, jnp.float32), jnp.zeros((b,), jnp.float32))
+    (finals, withdrawn), _ = jax.lax.scan(
+        body, init, (growth.T, jnp.arange(t))
+    )
+    return finals, withdrawn
+
+
+def compound_paths(growth, v0, strategy):
+    """(B, T+1) trajectories (month 0 = initial capital) — v1 semantics."""
+    b, t = growth.shape
+    v0 = jnp.asarray(v0, jnp.float32)
+    if _is_multiplicative(strategy):
+        gk = growth * _keep_factors(strategy, t)[None, :]
+        run = v0 * jnp.cumprod(gk, axis=1)
+        return jnp.concatenate(
+            [jnp.full((b, 1), v0, jnp.float32), run], axis=1
+        )
+
+    def body(value, x):
+        g, idx = x
+        value, _ = apply_month(strategy, idx, value, g)
+        return value, value
+
+    init = jnp.full((b,), v0, jnp.float32)
+    _, traj = jax.lax.scan(body, init, (growth.T, jnp.arange(t)))
+    return jnp.concatenate([init[None, :], traj], axis=0).T
+
+
+def chunk_stats(model, strategy, root_key, scramble_key, v0, path_offset,
+                valid, target, *, n_periods, chunk_shape_b, spec,
+                keep_finals):
+    """Simulate one chunk and reduce to (packed_stats, histogram[, finals]).
+
+    ``valid`` masks padding paths in the final (ragged) chunk — the moral
+    equivalent of the reference's partial-block handling, done exactly
+    (the reference's reduceBlock divides by blockSize even for partial
+    blocks, src/simulations.cu:232; a bias we do not reproduce).
+    """
+    growth = sample_growth(
+        model, root_key, scramble_key, path_offset,
+        (chunk_shape_b, n_periods),
+    )
+    finals, withdrawn = compound_final(growth, v0, strategy)
+    lane = jnp.arange(chunk_shape_b, dtype=jnp.int32)
+    mask = lane < valid
+
+    f_stats = jnp.where(mask, finals, 0.0)
+    f2 = f_stats * f_stats
+    stats = jnp.stack([
+        valid.astype(jnp.float32),
+        jnp.sum(f_stats),
+        jnp.sum(f2),
+        jnp.sum(f2 * f_stats),
+        jnp.sum(f2 * f2),
+        jnp.min(jnp.where(mask, finals, jnp.inf)),
+        jnp.max(jnp.where(mask, finals, -jnp.inf)),
+        jnp.sum(jnp.where(mask & (finals < target), 1.0, 0.0)),
+        jnp.sum(jnp.where(mask, withdrawn, 0.0)),
+    ])
+
+    idx = spec.bin_index(finals)
+    idx = jnp.where(mask, idx, spec.n_bins + 2)  # padding -> discard bin
+    hist = jax.ops.segment_sum(
+        jnp.ones_like(idx, jnp.float32), idx,
+        num_segments=spec.n_bins + 3,
+    )[: spec.n_bins + 2]
+
+    if keep_finals:
+        return stats, hist, finals
+    return stats, hist
+
+
+# ---------------------------------------------------------------------------
+# Jit/shard-map caching.
+# ---------------------------------------------------------------------------
+
+_CHUNK_FN_CACHE = {}
+
+
+def _get_chunk_fn(model_kind, strategy_kind, n_periods, chunk_b, spec,
+                  keep_finals, mesh: Optional[Mesh], backend: str):
+    cache_key = (
+        model_kind, strategy_kind, n_periods, chunk_b, spec, keep_finals,
+        id(mesh) if mesh is not None else None, backend,
+    )
+    fn = _CHUNK_FN_CACHE.get(cache_key)
+    if fn is not None:
+        return fn
+
+    if backend == "pallas":
+        from stock_market_monte_carlo_tpu.ops.pallas_engine import (
+            pallas_chunk_stats,
+        )
+
+        base = partial(
+            pallas_chunk_stats,
+            n_periods=n_periods,
+            chunk_shape_b=chunk_b,
+            spec=spec,
+            keep_finals=keep_finals,
+        )
+    else:
+        base = partial(
+            chunk_stats,
+            n_periods=n_periods,
+            chunk_shape_b=chunk_b,
+            spec=spec,
+            keep_finals=keep_finals,
+        )
+
+    if mesh is None:
+        fn = jax.jit(base)
+    else:
+        axis = mesh.axis_names[0]
+
+        def device_fn(model, strategy, root_key, scramble_key, v0,
+                      offsets, valids, target):
+            out = base(
+                model, strategy, root_key, scramble_key, v0,
+                offsets[0], valids[0], target,
+            )
+            s = out[0]
+            # exact cross-device merge over ICI: sums psum, extrema pmin/pmax
+            stats = jnp.concatenate([
+                jax.lax.psum(s[:5], axis),
+                jax.lax.pmin(s[5], axis)[None],
+                jax.lax.pmax(s[6], axis)[None],
+                jax.lax.psum(s[7:], axis),
+            ])
+            hist = jax.lax.psum(out[1], axis)
+            if keep_finals:
+                return stats, hist, out[2]
+            return stats, hist
+
+        rep = P()
+        out_specs = (rep, rep, P(axis)) if keep_finals else (rep, rep)
+        fn = jax.jit(
+            jax.shard_map(
+                device_fn,
+                mesh=mesh,
+                in_specs=(rep, rep, rep, rep, rep, P(axis), P(axis), rep),
+                out_specs=out_specs,
+            )
+        )
+
+    _CHUNK_FN_CACHE[cache_key] = fn
+    return fn
+
+
+def resolve_backend(options: EngineOptions) -> str:
+    if options.backend != "auto":
+        return options.backend
+    return "pallas" if jax.default_backend() == "tpu" else "xla"
+
+
+def _xla_chunk_paths(n_periods: int, options: EngineOptions) -> int:
+    """Bound the materialized (B, T) growth buffer to ~1 GiB on the XLA
+    path; the Pallas path never materializes it and uses chunk_paths."""
+    budget = 1 << 30
+    b = budget // (n_periods * 4 * 3)
+    b = max(KEY_TILE, (b // KEY_TILE) * KEY_TILE)
+    return min(b, options.chunk_paths)
+
+
+def _round_up(x: int, m: int) -> int:
+    return -(-x // m) * m
+
+
+# ---------------------------------------------------------------------------
+# Public API.
+# ---------------------------------------------------------------------------
+
+
+def simulate_stats(
+    model,
+    n_paths: int,
+    n_periods: int,
+    initial_capital: float = 1000.0,
+    seed: int = 0,
+    strategy=NoWithdrawal(),
+    target_amount: Optional[float] = None,
+    options: EngineOptions = EngineOptions(),
+    mesh: Optional[Mesh] = None,
+    progress=None,
+    keep_final_values: Optional[bool] = None,
+) -> SimulationResult:
+    """Fused simulate+reduce: O(1) host traffic regardless of n_paths."""
+    t_start = time.perf_counter()
+    backend = resolve_backend(options)
+    keep_finals = (options.keep_final_values
+                   if keep_final_values is None else keep_final_values)
+    spec = make_histogram_spec(
+        model, strategy, n_periods, initial_capital, options.histogram_bins
+    )
+
+    if backend == "pallas":
+        chunk_b = options.chunk_paths
+    else:
+        chunk_b = _xla_chunk_paths(n_periods, options)
+
+    n_dev = 1 if mesh is None else mesh.size
+    per_dispatch = chunk_b * n_dev
+
+    root_key = jax.random.key(seed)
+    scramble_key = jax.random.fold_in(root_key, 0x50B0)
+    target = jnp.float32(
+        np.inf if target_amount is None else target_amount
+    )
+    v0 = jnp.float32(initial_capital)
+
+    total_stats = red.zero_packed_stats()
+    total_hist = np.zeros(spec.n_bins + 2, np.float64)
+    finals_parts = []
+    pending = None  # (arrays, paths_done_after)
+    done = 0
+    offset = 0
+    remaining = n_paths
+
+    while remaining > 0:
+        this_valid_total = min(remaining, per_dispatch)
+        # Last dispatch may use a smaller padded shape (at most one extra
+        # compile), keeping every earlier dispatch at a fixed shape.
+        if this_valid_total == per_dispatch:
+            b = chunk_b
+        else:
+            b = _round_up(_round_up(this_valid_total, n_dev) // n_dev,
+                          KEY_TILE)
+        fn = _get_chunk_fn(
+            model.kind, strategy.kind, n_periods, b, spec, keep_finals,
+            mesh, backend,
+        )
+        if mesh is None:
+            out = fn(
+                model, strategy, root_key, scramble_key, v0,
+                jnp.uint32(offset), jnp.int32(this_valid_total), target,
+            )
+        else:
+            offsets = jnp.uint32(offset) + jnp.uint32(b) * jnp.arange(
+                n_dev, dtype=jnp.uint32
+            )
+            valids = jnp.clip(
+                jnp.int32(this_valid_total)
+                - jnp.int32(b) * jnp.arange(n_dev, dtype=jnp.int32),
+                0, b,
+            )
+            out = fn(
+                model, strategy, root_key, scramble_key, v0,
+                offsets, valids, target,
+            )
+
+        # Overlap: fetch chunk k-1 while chunk k computes on device.
+        if pending is not None:
+            total_stats, total_hist, done = _absorb(
+                pending, total_stats, total_hist, finals_parts, keep_finals
+            )
+            if progress is not None:
+                progress(done, n_paths)
+        pending = (out, done + this_valid_total, this_valid_total)
+
+        offset += b * n_dev
+        remaining -= this_valid_total
+
+    total_stats, total_hist, done = _absorb(
+        pending, total_stats, total_hist, finals_parts, keep_finals
+    )
+    if progress is not None:
+        progress(done, n_paths)
+
+    finals = None
+    if keep_finals:
+        finals = np.concatenate(finals_parts)[:n_paths]
+
+    moments = red.MomentSummary.from_packed(
+        total_stats, target_amount is not None
+    )
+    return SimulationResult(
+        n_paths=n_paths,
+        n_periods=n_periods,
+        initial_capital=initial_capital,
+        moments=moments,
+        histogram_spec=spec,
+        histogram_counts=total_hist,
+        target_amount=target_amount,
+        final_values=finals,
+        elapsed_s=time.perf_counter() - t_start,
+    )
+
+
+def _absorb(pending, total_stats, total_hist, finals_parts, keep_finals):
+    out, done_after, valid = pending
+    stats = np.asarray(out[0], np.float64)
+    hist = np.asarray(out[1], np.float64)
+    merged = np.concatenate([
+        total_stats[:5] + stats[:5],
+        [min(total_stats[5], stats[5]), max(total_stats[6], stats[6])],
+        total_stats[7:] + stats[7:],
+    ])
+    if keep_finals:
+        finals_parts.append(np.asarray(out[2], np.float32).ravel()[:valid])
+    return merged, total_hist + hist, done_after
+
+
+def simulate_final_values(
+    model,
+    n_paths: int,
+    n_periods: int,
+    initial_capital: float = 1000.0,
+    seed: int = 0,
+    strategy=NoWithdrawal(),
+    options: EngineOptions = EngineOptions(),
+    mesh: Optional[Mesh] = None,
+    progress=None,
+) -> np.ndarray:
+    """v2 semantics: per-path final values (host np.ndarray)."""
+    result = simulate_stats(
+        model, n_paths, n_periods, initial_capital, seed, strategy,
+        None, options, mesh, progress, keep_final_values=True,
+    )
+    return result.final_values
+
+
+@partial(jax.jit, static_argnames=("n_paths", "n_periods"))
+def _paths_jit(model, strategy, root_key, scramble_key, v0, path_offset,
+               n_paths, n_periods):
+    growth = sample_growth(
+        model, root_key, scramble_key, path_offset, (n_paths, n_periods)
+    )
+    return compound_paths(growth, v0, strategy)
+
+
+def simulate_paths(
+    model,
+    n_paths: int,
+    n_periods: int,
+    initial_capital: float = 1000.0,
+    seed: int = 0,
+    strategy=NoWithdrawal(),
+    path_offset: int = 0,
+) -> jax.Array:
+    """v1 semantics: (n_paths, n_periods+1) trajectories, month 0 = capital.
+
+    Intended for visualization-scale path counts (the reference likewise
+    caps drawn trajectories, examples/visualize_returns_cpu_v2.cpp:176-202);
+    memory is O(n_paths * n_periods).
+    """
+    b = _round_up(n_paths, KEY_TILE)
+    root_key = jax.random.key(seed)
+    scramble_key = jax.random.fold_in(root_key, 0x50B0)
+    traj = _paths_jit(
+        model, strategy, root_key, scramble_key,
+        jnp.float32(initial_capital), jnp.uint32(path_offset),
+        b, n_periods,
+    )
+    return traj[:n_paths]
+
+
+def run(
+    model,
+    n_paths: int,
+    n_periods: int,
+    initial_capital: float = 1000.0,
+    seed: int = 0,
+    strategy=NoWithdrawal(),
+    target_amount: Optional[float] = None,
+    options: EngineOptions = EngineOptions(),
+    mesh: Optional[Mesh] = None,
+    progress=None,
+    keep_trajectories: int = 0,
+) -> SimulationResult:
+    """One-call experiment: fused stats plus (optionally) a capped set of
+    trajectories for fan plots — the v2-stats + v1-viz two-thread pattern of
+    the reference GUIs (examples/visualize_returns_cpu_v2.cpp:184-202) in a
+    single dispatch pipeline."""
+    result = simulate_stats(
+        model, n_paths, n_periods, initial_capital, seed, strategy,
+        target_amount, options, mesh, progress,
+    )
+    if keep_trajectories > 0:
+        k = min(keep_trajectories, n_paths)
+        result.trajectories = np.asarray(
+            simulate_paths(
+                model, k, n_periods, initial_capital, seed, strategy
+            )
+        )
+    return result

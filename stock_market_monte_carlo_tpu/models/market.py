@@ -1,0 +1,191 @@
+"""Market models: where monthly percent returns come from.
+
+The reference has two return sources — a Gaussian sampler
+(src/simulations.cpp:41-55) and an i.i.d. bootstrap from the historical
+S&P500 monthly-return table (src/simulations.cpp:95-112; on GPU, a xorshift
+draw indexing a ``__shared__`` copy of the table, src/simulations.cu:144-150)
+— plus vendored Sobol generators that were never wired into the simulators
+(src/simulations.cu:136-137 has the TODO). Here all four combinations are
+first-class models with a single interface.
+
+Models are JAX pytrees: array fields (the returns table, Sobol direction
+numbers) travel as traced leaves; scalars are leaves too so one compiled
+executable serves any mean/std. ``kind`` is static metadata used by the
+engine to pick the right fused kernel.
+
+Semantics notes (kept deliberately identical to the reference):
+- returns are in *percent per month*; the update is
+  ``V *= (100 + r) / 100`` (src/simulations.cpp:14-16). The GPU kernel
+  instead pre-scales the table by 0.01 and uses ``V += V * r_frac``
+  (src/simulations.cu:126,148) — algebraically the same.
+- bootstrap sampling is i.i.d. uniform over table rows, with replacement.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from functools import partial
+from typing import Union
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from stock_market_monte_carlo_tpu.config import (
+    DEFAULT_GAUSSIAN_MEAN_PCT,
+    DEFAULT_GAUSSIAN_STD_PCT,
+)
+
+
+@partial(
+    jax.tree_util.register_dataclass,
+    data_fields=["mean_pct", "std_pct"],
+    meta_fields=[],
+)
+@dataclasses.dataclass(frozen=True)
+class GaussianReturns:
+    """Monthly returns ~ N(mean_pct, std_pct), in percent.
+
+    Defaults match the reference's hard-coded market config
+    (examples/monte_carlo_simulated.cpp:11-13).
+    """
+
+    mean_pct: Union[float, jax.Array] = DEFAULT_GAUSSIAN_MEAN_PCT
+    std_pct: Union[float, jax.Array] = DEFAULT_GAUSSIAN_STD_PCT
+
+    kind = "gaussian"
+    is_quasi = False
+
+    def sample_returns_pct(self, key: jax.Array, shape) -> jax.Array:
+        return (
+            jnp.asarray(self.mean_pct, jnp.float32)
+            + jnp.asarray(self.std_pct, jnp.float32)
+            * jax.random.normal(key, shape, dtype=jnp.float32)
+        )
+
+
+@partial(
+    jax.tree_util.register_dataclass,
+    data_fields=["returns_pct"],
+    meta_fields=[],
+)
+@dataclasses.dataclass(frozen=True)
+class HistoricalBootstrap:
+    """i.i.d. bootstrap (with replacement) from a monthly-returns table.
+
+    ``returns_pct`` is the `returns` column of the S&P500 CSV, in percent
+    (reference loader: src/simulations.cpp:83-93).
+    """
+
+    returns_pct: jax.Array
+
+    kind = "historical"
+    is_quasi = False
+
+    @classmethod
+    def from_csv(cls, path=None) -> "HistoricalBootstrap":
+        from stock_market_monte_carlo_tpu.data.loader import (
+            read_historical_returns,
+        )
+
+        return cls(returns_pct=jnp.asarray(read_historical_returns(path)))
+
+    def sample_returns_pct(self, key: jax.Array, shape) -> jax.Array:
+        table = jnp.asarray(self.returns_pct, jnp.float32)
+        idx = jax.random.randint(key, shape, 0, table.shape[0])
+        return table[idx]
+
+
+def _sobol_uniforms(direction, path_offset, shape, scramble_key):
+    """(paths, periods) low-discrepancy uniforms; dim = period index."""
+    from stock_market_monte_carlo_tpu.ops.sobol import sobol_points_f32
+
+    n_paths, n_periods = shape
+    return sobol_points_f32(
+        direction, path_offset, n_paths, n_periods, scramble_key
+    )
+
+
+@partial(
+    jax.tree_util.register_dataclass,
+    data_fields=["mean_pct", "std_pct", "direction"],
+    meta_fields=[],
+)
+@dataclasses.dataclass(frozen=True)
+class SobolGaussianReturns:
+    """Gaussian model driven by Sobol quasi-random points.
+
+    Each month is one Sobol dimension; each path one sequence index; uniforms
+    map to normals via the inverse CDF. This *upgrades* the reference, which
+    vendored Sobol (include/sobol_joekuo/sobol.cc:74-166) but never wired it
+    into a simulator. Points are Owen-style digit-scrambled per seed so
+    repeated runs give unbiased error estimates.
+    """
+
+    direction: jax.Array  # (dims, 32) uint32 direction numbers
+    mean_pct: Union[float, jax.Array] = DEFAULT_GAUSSIAN_MEAN_PCT
+    std_pct: Union[float, jax.Array] = DEFAULT_GAUSSIAN_STD_PCT
+
+    kind = "sobol_gaussian"
+    is_quasi = True
+
+    @classmethod
+    def create(cls, n_periods, mean_pct=DEFAULT_GAUSSIAN_MEAN_PCT,
+               std_pct=DEFAULT_GAUSSIAN_STD_PCT) -> "SobolGaussianReturns":
+        from stock_market_monte_carlo_tpu.ops.sobol import direction_numbers
+
+        return cls(
+            direction=jnp.asarray(direction_numbers(n_periods)),
+            mean_pct=mean_pct,
+            std_pct=std_pct,
+        )
+
+    def sample_returns_pct_quasi(self, scramble_key, path_offset, shape):
+        from stock_market_monte_carlo_tpu.ops.normal import normal_icdf
+
+        u = _sobol_uniforms(self.direction, path_offset, shape, scramble_key)
+        z = normal_icdf(u)
+        return (
+            jnp.asarray(self.mean_pct, jnp.float32)
+            + jnp.asarray(self.std_pct, jnp.float32) * z
+        )
+
+
+@partial(
+    jax.tree_util.register_dataclass,
+    data_fields=["returns_pct", "direction"],
+    meta_fields=[],
+)
+@dataclasses.dataclass(frozen=True)
+class SobolHistoricalBootstrap:
+    """Historical bootstrap driven by Sobol points: idx = floor(u * n)."""
+
+    returns_pct: jax.Array
+    direction: jax.Array
+
+    kind = "sobol_historical"
+    is_quasi = True
+
+    @classmethod
+    def create(cls, returns_pct, n_periods) -> "SobolHistoricalBootstrap":
+        from stock_market_monte_carlo_tpu.ops.sobol import direction_numbers
+
+        return cls(
+            returns_pct=jnp.asarray(returns_pct, jnp.float32),
+            direction=jnp.asarray(direction_numbers(n_periods)),
+        )
+
+    def sample_returns_pct_quasi(self, scramble_key, path_offset, shape):
+        table = jnp.asarray(self.returns_pct, jnp.float32)
+        u = _sobol_uniforms(self.direction, path_offset, shape, scramble_key)
+        n = table.shape[0]
+        idx = jnp.minimum((u * n).astype(jnp.int32), n - 1)
+        return table[idx]
+
+
+MarketModel = Union[
+    GaussianReturns,
+    HistoricalBootstrap,
+    SobolGaussianReturns,
+    SobolHistoricalBootstrap,
+]

@@ -1,0 +1,213 @@
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+import stock_market_monte_carlo_tpu as smmc
+from stock_market_monte_carlo_tpu.config import EngineOptions
+from stock_market_monte_carlo_tpu.engine import engine as eng
+from stock_market_monte_carlo_tpu.models.strategies import (
+    FixedAmountWithdrawal,
+    FixedPercentWithdrawal,
+    NoWithdrawal,
+    VariablePercentWithdrawal,
+)
+
+GAUSS = smmc.GaussianReturns(mean_pct=0.5, std_pct=10.0 / 12)
+
+
+def analytic_gaussian_moments(v0, t, mean_pct, std_pct):
+    """E[V_T] and Var[V_T] for i.i.d. Gaussian percent returns.
+
+    V_T = V0 * prod g_i with g ~ N(1+mu/100, (sigma/100)^2):
+    E = V0 * m1^T, E[V^2] = V0^2 * (m1^2 + s^2)^T.
+    """
+    m1 = 1 + mean_pct / 100
+    s2 = (std_pct / 100) ** 2
+    mean = v0 * m1**t
+    second = v0**2 * (m1**2 + s2) ** t
+    return mean, second - mean**2
+
+
+def test_gaussian_mean_matches_analytic():
+    n, t = 400_000, 120
+    res = smmc.simulate_stats(GAUSS, n, t, initial_capital=1000.0, seed=3)
+    mean_a, var_a = analytic_gaussian_moments(1000.0, t, 0.5, 10.0 / 12)
+    se = np.sqrt(var_a / n)
+    assert abs(res.mean - mean_a) < 5 * se
+    assert abs(res.std - np.sqrt(var_a)) / np.sqrt(var_a) < 0.02
+
+
+def test_numpy_parity_exact():
+    """Same growth draws -> numpy compounding must match to float rounding.
+
+    This is the analog of the reference's CPU-vs-GPU mean cross-check
+    (examples/benchmark_reduce_mean.cpp:29-43) but exact, per-path.
+    """
+    n, t = eng.KEY_TILE, 48
+    key = jax.random.key(7)
+    scr = jax.random.fold_in(key, 0x50B0)
+    growth = np.asarray(
+        eng.sample_growth(GAUSS, key, scr, jnp.uint32(0), (n, t))
+    )
+    finals_np = 1000.0 * np.prod(growth.astype(np.float64), axis=1)
+    finals = smmc.simulate_final_values(GAUSS, n, t, 1000.0, seed=7)
+    np.testing.assert_allclose(finals, finals_np, rtol=2e-5)
+
+
+def test_v1_v2_consistency():
+    """Trajectory endpoint == final value for the same seed/paths."""
+    n, t = 64, 60
+    traj = np.asarray(smmc.simulate_paths(GAUSS, n, t, 1000.0, seed=11))
+    finals = smmc.simulate_final_values(GAUSS, n, t, 1000.0, seed=11)[:n]
+    assert traj.shape == (n, t + 1)
+    np.testing.assert_allclose(traj[:, 0], 1000.0)
+    np.testing.assert_allclose(traj[:, -1], finals, rtol=1e-6)
+
+
+def test_chunk_invariance():
+    """Results must not depend on chunk size (RNG is keyed globally)."""
+    n, t = 3 * eng.KEY_TILE, 24
+    small = EngineOptions(chunk_paths=eng.KEY_TILE)
+    big = EngineOptions(chunk_paths=4 * eng.KEY_TILE)
+    fa = smmc.simulate_final_values(GAUSS, n, t, seed=5, options=small)
+    fb = smmc.simulate_final_values(GAUSS, n, t, seed=5, options=big)
+    np.testing.assert_array_equal(fa, fb)
+
+
+def test_ragged_path_count():
+    """n_paths not divisible by anything still gives exact counts."""
+    n, t = eng.KEY_TILE + 1234, 12
+    res = smmc.simulate_stats(GAUSS, n, t, seed=1, target_amount=1e9)
+    assert res.moments.n == n
+    assert res.count_below == n  # everything is below 1e9
+    assert res.histogram_counts.sum() == pytest.approx(n)
+
+
+def test_histogram_and_quantiles_vs_exact():
+    n, t = 200_000, 120
+    res = smmc.simulate_stats(
+        GAUSS, n, t, seed=9, keep_final_values=True
+    )
+    finals = res.final_values
+    assert finals.shape == (n,)
+    # histogram mass conservation
+    assert res.histogram_counts.sum() == pytest.approx(n)
+    # underflow/overflow empty for this benign config
+    assert res.histogram_counts[0] == 0
+    assert res.histogram_counts[-1] == 0
+    # quantiles from histogram vs exact
+    q_hist = eng.red.quantiles_from_histogram(
+        res.histogram_spec, res.histogram_counts, [0.05, 0.5, 0.95]
+    )
+    q_exact = np.quantile(finals, [0.05, 0.5, 0.95])
+    np.testing.assert_allclose(q_hist, q_exact, rtol=2e-3)
+
+
+def test_count_below_exact():
+    n, t = 100_000, 60
+    target = 1200.0
+    res = smmc.simulate_stats(
+        GAUSS, n, t, seed=13, target_amount=target, keep_final_values=True
+    )
+    want = int((res.final_values < target).sum())
+    assert res.count_below == want
+
+
+def test_historical_bootstrap_engine(historical_table):
+    m = smmc.HistoricalBootstrap(jnp.asarray(historical_table))
+    n, t = 100_000, 240
+    res = smmc.simulate_stats(m, n, t, seed=2)
+    # E[g] from the table
+    g = (100 + historical_table.astype(np.float64)) / 100
+    mean_a = 1000.0 * g.mean() ** t
+    var_a = 1000.0**2 * ((g**2).mean() ** t - g.mean() ** (2 * t))
+    se = np.sqrt(var_a / n)
+    assert abs(res.mean - mean_a) < 5 * se
+
+
+def test_seed_changes_results():
+    a = smmc.simulate_final_values(GAUSS, 2048, 12, seed=0)
+    b = smmc.simulate_final_values(GAUSS, 2048, 12, seed=1)
+    assert not np.allclose(a, b)
+
+
+def test_progress_callback():
+    calls = []
+    n = 2 * eng.KEY_TILE
+    smmc.simulate_stats(
+        GAUSS, n, 12, seed=0,
+        options=EngineOptions(chunk_paths=eng.KEY_TILE),
+        progress=lambda d, t: calls.append((d, t)),
+    )
+    assert calls[-1] == (n, n)
+    assert [d for d, _ in calls] == sorted(d for d, _ in calls)
+
+
+def test_run_with_trajectories():
+    res = smmc.run(GAUSS, 20_000, 36, seed=0, keep_trajectories=50)
+    assert res.trajectories.shape == (50, 37)
+    assert "mean" in res.summary()
+
+
+# ---------------------------------------------------------------------------
+# Withdrawal strategies
+# ---------------------------------------------------------------------------
+
+
+def test_fixed_percent_scales_final():
+    """V' with keep fraction k: finals scale by k^T vs no withdrawal."""
+    n, t = eng.KEY_TILE, 60
+    base = smmc.simulate_final_values(GAUSS, n, t, seed=4)
+    w = smmc.simulate_final_values(
+        GAUSS, n, t, seed=4, strategy=FixedPercentWithdrawal(percent=1.0)
+    )
+    np.testing.assert_allclose(w, base * 0.99**t, rtol=1e-4)
+
+
+def test_variable_percent_matches_fixed_when_constant():
+    n, t = eng.KEY_TILE, 24
+    a = smmc.simulate_final_values(
+        GAUSS, n, t, seed=4, strategy=FixedPercentWithdrawal(2.0)
+    )
+    b = smmc.simulate_final_values(
+        GAUSS, n, t, seed=4,
+        strategy=VariablePercentWithdrawal(jnp.full((t,), 2.0)),
+    )
+    np.testing.assert_allclose(a, b, rtol=1e-6)
+
+
+def test_fixed_amount_depletes_and_clamps():
+    # zero-return market: V_t = V0 - t*amount until depletion, then 0
+    m = smmc.GaussianReturns(mean_pct=0.0, std_pct=0.0)
+    t = 30
+    traj = np.asarray(
+        smmc.simulate_paths(
+            m, 4, t, initial_capital=100.0, seed=0,
+            strategy=FixedAmountWithdrawal(amount=10.0),
+        )
+    )
+    want = np.maximum(100.0 - 10.0 * np.arange(t + 1), 0.0)
+    np.testing.assert_allclose(traj[0], want, atol=1e-5)
+
+
+def test_fixed_amount_total_withdrawn():
+    m = smmc.GaussianReturns(mean_pct=0.0, std_pct=0.0)
+    res = smmc.simulate_stats(
+        m, eng.KEY_TILE, 5, initial_capital=100.0,
+        strategy=FixedAmountWithdrawal(amount=10.0),
+    )
+    assert res.moments.mean == pytest.approx(50.0)
+    assert res.moments.total_withdrawn == pytest.approx(
+        50.0 * eng.KEY_TILE, rel=1e-6
+    )
+
+
+def test_withdrawal_cannot_go_negative():
+    m = smmc.GaussianReturns(mean_pct=0.0, std_pct=0.0)
+    res = smmc.simulate_stats(
+        m, eng.KEY_TILE, 50, initial_capital=100.0,
+        strategy=FixedAmountWithdrawal(amount=37.0),
+    )
+    assert res.moments.min == pytest.approx(0.0)
+    assert res.moments.mean == pytest.approx(0.0)
