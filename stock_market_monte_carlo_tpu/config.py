@@ -39,8 +39,10 @@ class EngineOptions:
     # Paths per single device dispatch; large runs loop over macro-chunks of
     # this size so the host can report progress and stay under HBM limits.
     chunk_paths: int = 2**24
-    # Final-value histogram resolution (log-spaced bins).
-    histogram_bins: int = 4096
+    # Final-value histogram resolution (log-spaced interior bins). The
+    # default makes interior + underflow + overflow = 4096 = 64*64, the
+    # exact factorization the MXU histogram kernel uses.
+    histogram_bins: int = 4094
     # When True, compute per-path final values in addition to fused stats
     # (needed for exact quantiles; costs an HBM write of 4 bytes/path).
     keep_final_values: bool = False

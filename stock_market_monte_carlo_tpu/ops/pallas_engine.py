@@ -1,0 +1,352 @@
+"""Fused Pallas simulation kernels — the TPU analog of the reference's
+optimized CUDA path (src/simulations.cu:112-247), redesigned for the VPU/MXU.
+
+One grid step simulates a *tile* of 8192 paths held entirely in vector
+registers: per month it draws random bits from the TPU hardware PRNG (or
+folds Sobol direction numbers), maps them to a return, and compounds — no
+HBM traffic inside the month loop. This is what the reference's
+shared-memory returns table + per-thread xorshift kernel
+(src/simulations.cu:123-150) becomes when "shared memory" is VMEM/registers
+and "a thread" is a vector lane.
+
+Per tile the kernel also emits partial statistic rows (sum, sum², sum³,
+sum⁴, min, max, count-below, withdrawn — each lane-reduced to (1,128)), the
+exact-merge upgrade of the reduceBlock per-block mean/variance kernel
+(src/simulations.cu:185-247). Final values go to HBM once (4 B/path); the
+final-value histogram is then a factorized one-hot matmul on the MXU
+(ops/histogram.py) rather than a scatter.
+
+Reproducibility: the hardware PRNG is seeded per tile from
+(seed, global_tile_index) with the same SplitMix finalizer as
+ops/rng.tile_seed, so tiles are independent streams and results are
+invariant to chunking and sharding. Gaussian inverse-CDF sampling uses a
+branch-free erfinv polynomial; uniforms take the top 23 bits of each draw
+as (cnt+0.5)/2^23, which keeps u strictly inside (0,1) at float32.
+"""
+
+from __future__ import annotations
+
+from functools import lru_cache
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from stock_market_monte_carlo_tpu.ops import histogram as hist_ops
+
+TILE_ROWS = 64
+TILE_PATHS = TILE_ROWS * 128  # == ops.rng.KEY_TILE: one RNG tile per grid step
+
+_SQRT2 = 1.4142135623730951
+_U23 = float(2.0**-23)
+
+# stat row indices in the per-tile partials block
+_ROWS = ("sum", "sum_sq", "sum_cube", "sum_quart", "min", "max",
+         "count_below", "withdrawn")
+N_PARTIAL_ROWS = len(_ROWS)
+
+
+def _erfinv_poly(x):
+    """Branch-free single-precision erfinv (same polynomial as
+    ops/normal.erfinv_f32, inlined for the kernel)."""
+    w = -jnp.log1p(-(x * x))
+    wc = w - 2.5
+    p = jnp.float32(2.81022636e-08)
+    for c in (3.43273939e-07, -3.5233877e-06, -4.39150654e-06,
+              0.00021858087, -0.00125372503, -0.00417768164,
+              0.246640727, 1.50140941):
+        p = jnp.float32(c) + p * wc
+    wt = jnp.sqrt(w) - 3.0
+    q = jnp.float32(-0.000200214257)
+    for c in (0.000100950558, 0.00134934322, -0.00367342844,
+              0.00573950773, -0.0076224613, 0.00943887047,
+              1.00167406, 2.83297682):
+        q = jnp.float32(c) + q * wt
+    return jnp.where(w < 5.0, p, q) * x
+
+
+def _u23_from_bits(bits_i32):
+    """Top 23 bits -> u = (cnt + 0.5) * 2^-23, strictly inside (0,1).
+
+    23 bits (not 24) so that 2u-1 = +/-(1 - 2^-23) stays representable below
+    1.0f — at 24 bits the extreme code rounds to exactly 1.0 and the ICDF
+    blows up.
+    """
+    cnt = jax.lax.shift_right_logical(bits_i32, 9)
+    return (cnt.astype(jnp.float32) + 0.5) * jnp.float32(_U23)
+
+
+def _shr(x, n):
+    return jax.lax.shift_right_logical(x, jnp.int32(n))
+
+
+def _tile_seed_i32(seed_base_i32, tile_i32):
+    """SplitMix finalizer over (seed, tile) — bit-identical to
+    ops/rng.tile_seed but in int32 (scalar bitcasts don't lower in Mosaic;
+    int32 mul/xor/logical-shift have the same bit semantics as uint32)."""
+    x = (seed_base_i32 * jnp.int32(-1640531527)) ^ tile_i32  # 0x9E3779B9
+    x = (x ^ _shr(x, 16)) * jnp.int32(-2048144789)           # 0x85EBCA6B
+    x = (x ^ _shr(x, 13)) * jnp.int32(-1028477387)           # 0xC2B2AE35
+    return x ^ _shr(x, 16)
+
+
+def _build_kernel(kind: str, strategy_kind: str, n_periods: int,
+                  n_table_chunks: int):
+    """Kernel specialized on (model kind, strategy kind, horizon).
+
+    Ref layout (inputs then outputs):
+      iscal (SMEM i32 (8,)): seed_base, tile0, valid, n_table
+      fscal (SMEM f32 (8,)): v0, a, b, amount, target
+      [table (C,128) f32 VMEM]                    historical kinds
+      [dir (T,32) i32 SMEM, shift (T,1) i32 SMEM] sobol kinds
+      [keep (T,1) f32 SMEM]                       percent strategies
+      finals (TILE_ROWS,128) f32 VMEM out
+      partials (N_PARTIAL_ROWS,128) f32 VMEM out
+    """
+    is_sobol = kind.startswith("sobol")
+    is_hist = kind.endswith("historical")
+    has_keep = strategy_kind in ("fixed_percent", "variable_percent")
+    is_fixed_amt = strategy_kind == "fixed_amount"
+
+    def kernel(*refs):
+        it = iter(refs)
+        iscal = next(it)
+        fscal = next(it)
+        table_ref = next(it) if is_hist else None
+        dir_ref = next(it) if is_sobol else None
+        shift_ref = next(it) if is_sobol else None
+        keep_ref = next(it) if has_keep else None
+        finals_ref = next(it)
+        partials_ref = next(it)
+
+        pid = pl.program_id(0)
+        tile = iscal[1] + pid
+        v0, a, b = fscal[0], fscal[1], fscal[2]
+        amount, target = fscal[3], fscal[4]
+        n_table_f = iscal[3].astype(jnp.float32)
+
+        if not is_sobol:
+            pltpu.prng_seed(_tile_seed_i32(iscal[0], tile))
+
+        # local path ids within the chunk: tile-major, row-major
+        rr = jax.lax.broadcasted_iota(jnp.int32, (TILE_ROWS, 128), 0)
+        ll = jax.lax.broadcasted_iota(jnp.int32, (TILE_ROWS, 128), 1)
+        local_id = pid * TILE_PATHS + rr * 128 + ll
+
+        if is_sobol:
+            # global sequence position -> gray code, folded per dimension
+            # (int32 bit-ops, same patterns as uint32; >2^31 paths unsupported)
+            gid = tile * jnp.int32(TILE_PATHS) + (rr * 128 + ll)
+            gray = gid ^ _shr(gid, 1)
+
+        def uniforms(t):
+            if not is_sobol:
+                return _u23_from_bits(
+                    pltpu.prng_random_bits((TILE_ROWS, 128))
+                )
+            acc = jnp.zeros((TILE_ROWS, 128), jnp.int32)
+            for bit in range(32):
+                d = dir_ref[t, bit]
+                take = (_shr(gray, bit) & jnp.int32(1)) > 0
+                acc = jnp.where(take, acc ^ d, acc)
+            acc = acc ^ shift_ref[t, 0]
+            return _u23_from_bits(acc)
+
+        def growth(t):
+            u = uniforms(t)
+            if is_hist:
+                idx = (u * n_table_f).astype(jnp.int32)
+                within = idx & 127
+                chunk = jax.lax.shift_right_logical(idx, 7)
+                val = jnp.zeros((TILE_ROWS, 128), jnp.float32)
+                for c in range(n_table_chunks):
+                    tc = jnp.broadcast_to(
+                        table_ref[c, :][None, :], (TILE_ROWS, 128)
+                    )
+                    g = jnp.take_along_axis(tc, within, axis=1)
+                    val = jnp.where(chunk == c, g, val)
+                return val
+            z = jnp.float32(_SQRT2) * _erfinv_poly(2.0 * u - 1.0)
+            return a + b * z
+
+        def body(t, carry):
+            total, wsum = carry
+            grown = total * growth(t)
+            if strategy_kind == "none":
+                return grown, wsum
+            if has_keep:
+                keep = keep_ref[t, 0]
+                new = grown * keep
+                return new, wsum + (grown - new)
+            if is_fixed_amt:
+                new = jnp.maximum(grown - amount, 0.0)
+                return new, wsum + (grown - new)
+            raise AssertionError(strategy_kind)
+
+        init = (jnp.full((TILE_ROWS, 128), 1.0, jnp.float32) * v0,
+                jnp.zeros((TILE_ROWS, 128), jnp.float32))
+        total, wsum = jax.lax.fori_loop(0, n_periods, body, init)
+
+        finals_ref[:] = total
+
+        mask = local_id < iscal[2]
+        f = jnp.where(mask, total, 0.0)
+        f2 = f * f
+
+        def rowsum(x):
+            return jnp.sum(x, axis=0, keepdims=True)
+
+        partials_ref[:] = jnp.concatenate([
+            rowsum(f),
+            rowsum(f2),
+            rowsum(f2 * f),
+            rowsum(f2 * f2),
+            jnp.min(jnp.where(mask, total, jnp.inf), axis=0, keepdims=True),
+            jnp.max(jnp.where(mask, total, -jnp.inf), axis=0, keepdims=True),
+            rowsum(jnp.where(mask & (total < target), 1.0, 0.0)),
+            rowsum(jnp.where(mask, wsum, 0.0)),
+        ], axis=0)
+
+    return kernel
+
+
+@lru_cache(maxsize=64)
+def _build_pallas_call(kind: str, strategy_kind: str, n_periods: int,
+                       n_table_chunks: int, ntiles: int, interpret: bool):
+    kernel = _build_kernel(kind, strategy_kind, n_periods, n_table_chunks)
+    is_sobol = kind.startswith("sobol")
+    is_hist = kind.endswith("historical")
+    has_keep = strategy_kind in ("fixed_percent", "variable_percent")
+
+    in_specs = [
+        pl.BlockSpec(memory_space=pltpu.SMEM),  # iscal
+        pl.BlockSpec(memory_space=pltpu.SMEM),  # fscal
+    ]
+    if is_hist:
+        in_specs.append(pl.BlockSpec(memory_space=pltpu.VMEM))
+    if is_sobol:
+        in_specs.append(pl.BlockSpec(memory_space=pltpu.SMEM))
+        in_specs.append(pl.BlockSpec(memory_space=pltpu.SMEM))
+    if has_keep:
+        in_specs.append(pl.BlockSpec(memory_space=pltpu.SMEM))
+
+    return pl.pallas_call(
+        kernel,
+        grid=(ntiles,),
+        in_specs=in_specs,
+        out_specs=(
+            pl.BlockSpec((TILE_ROWS, 128), lambda i: (i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((N_PARTIAL_ROWS, 128), lambda i: (i, 0),
+                         memory_space=pltpu.VMEM),
+        ),
+        out_shape=(
+            jax.ShapeDtypeStruct((ntiles * TILE_ROWS, 128), jnp.float32),
+            jax.ShapeDtypeStruct((ntiles * N_PARTIAL_ROWS, 128),
+                                 jnp.float32),
+        ),
+        interpret=interpret,
+    )
+
+
+def _pad_table(returns_pct: jax.Array):
+    """(C,128) growth-factor table: (100+r)/100, zero padded."""
+    n = returns_pct.shape[0]
+    c = -(-n // 128)
+    g = (jnp.float32(100.0) + returns_pct.astype(jnp.float32)) * 0.01
+    flat = jnp.zeros((c * 128,), jnp.float32).at[:n].set(g)
+    return flat.reshape(c, 128), n
+
+
+def pallas_chunk_stats(model, strategy, root_key, scramble_key, v0,
+                       path_offset, valid, target, *, n_periods,
+                       chunk_shape_b, spec, keep_finals):
+    """Drop-in replacement for engine.chunk_stats on TPU (same contract)."""
+    assert chunk_shape_b % TILE_PATHS == 0, (chunk_shape_b, TILE_PATHS)
+    ntiles = chunk_shape_b // TILE_PATHS
+    kind = model.kind
+    strategy_kind = strategy.kind
+    interpret = jax.default_backend() != "tpu"
+
+    kd = jax.random.key_data(root_key).astype(jnp.uint32).ravel()
+    seed_base = jax.lax.bitcast_convert_type(
+        kd[0] ^ (kd[-1] * jnp.uint32(0x6C62272E)), jnp.int32
+    )
+    tile0 = jax.lax.bitcast_convert_type(
+        jnp.asarray(path_offset, jnp.uint32) // jnp.uint32(TILE_PATHS),
+        jnp.int32,
+    )
+
+    mean = getattr(model, "mean_pct", 0.0)
+    std = getattr(model, "std_pct", 0.0)
+    a = 1.0 + jnp.asarray(mean, jnp.float32) * 0.01
+    b = jnp.asarray(std, jnp.float32) * 0.01
+
+    amount = jnp.float32(0.0)
+    if strategy_kind == "fixed_amount":
+        amount = jnp.asarray(strategy.amount, jnp.float32)
+
+    operands = []
+    n_table_chunks = 0
+    n_table = 0
+    if kind.endswith("historical"):
+        table2d, n_table = _pad_table(model.returns_pct)
+        n_table_chunks = int(table2d.shape[0])
+        operands.append(table2d)
+    if kind.startswith("sobol"):
+        from stock_market_monte_carlo_tpu.ops.sobol import digital_shift
+
+        direction = jnp.asarray(model.direction, jnp.uint32)[:n_periods]
+        operands.append(
+            jax.lax.bitcast_convert_type(direction, jnp.int32)
+        )
+        shift = digital_shift(scramble_key, n_periods)
+        operands.append(
+            jax.lax.bitcast_convert_type(shift, jnp.int32).reshape(-1, 1)
+        )
+    if strategy_kind in ("fixed_percent", "variable_percent"):
+        from stock_market_monte_carlo_tpu.engine.engine import _keep_factors
+
+        keep = _keep_factors(strategy, n_periods).reshape(-1, 1)
+        operands.append(keep)
+
+    iscal = jnp.stack([
+        seed_base, tile0, jnp.asarray(valid, jnp.int32),
+        jnp.asarray(n_table, jnp.int32),
+        jnp.int32(0), jnp.int32(0), jnp.int32(0), jnp.int32(0),
+    ])
+    fscal = jnp.stack([
+        jnp.asarray(v0, jnp.float32), a, b, amount,
+        jnp.asarray(target, jnp.float32),
+        jnp.float32(0), jnp.float32(0), jnp.float32(0),
+    ])
+
+    call = _build_pallas_call(
+        kind, strategy_kind, n_periods, n_table_chunks, ntiles, interpret
+    )
+    finals2d, partials = call(iscal, fscal, *operands)
+
+    p = partials.reshape(ntiles, N_PARTIAL_ROWS, 128)
+    sums = jnp.sum(p[:, 0:4], axis=(0, 2))
+    mn = jnp.min(p[:, 4])
+    mx = jnp.max(p[:, 5])
+    cb = jnp.sum(p[:, 6])
+    wd = jnp.sum(p[:, 7])
+    stats = jnp.concatenate([
+        jnp.asarray(valid, jnp.float32)[None],
+        sums, mn[None], mx[None], cb[None], wd[None],
+    ])
+
+    finals = finals2d.reshape(-1)
+    # histogram (MXU matmul): bin index in log space; padding -> discard
+    lane = jnp.arange(chunk_shape_b, dtype=jnp.int32)
+    mask = lane < valid
+    idx = spec.bin_index(finals)
+    idx = jnp.where(mask, idx, spec.n_bins + 2)
+    hist = hist_ops.histogram_counts(idx, spec.n_bins + 2)
+
+    if keep_finals:
+        return stats, hist, finals
+    return stats, hist
