@@ -1,0 +1,194 @@
+"""CLI: one entry point mirroring every reference executable.
+
+The reference ships 16 binaries under examples/ (examples/CMakeLists.txt:
+6-77). Each maps to a subcommand here with the same positional arguments,
+e.g. ``build/benchmark_mc_gpu 1 360 100000000`` becomes
+``smmc benchmark-mc-gpu 1 360 100000000``. GUI visualizers map onto
+terminal/matplotlib surfaces (viz/).
+"""
+
+from __future__ import annotations
+
+import argparse
+import sys
+
+
+def main(argv=None):
+    parser = argparse.ArgumentParser(
+        prog="smmc",
+        description="TPU-native Monte Carlo stock-market simulator",
+    )
+    sub = parser.add_subparsers(dest="command", required=True)
+
+    from stock_market_monte_carlo_tpu.cli import commands as c
+
+    # --- benchmarks (reference: examples/benchmark_mc_*.cpp) ---
+    p = sub.add_parser(
+        "benchmark-mc-cpu",
+        help="v1 keepdata engine benchmark (ref: benchmark_mc_cpu)",
+    )
+    p.add_argument("n_months", type=int)
+    p.add_argument("n_simulations", type=int)
+    p.set_defaults(fn=c.benchmark_mc_cpu)
+
+    p = sub.add_parser(
+        "benchmark-mc-cpu-v2",
+        help="v2 final-only engine benchmark (ref: benchmark_mc_cpu_v2)",
+    )
+    p.add_argument("n_months", type=int)
+    p.add_argument("n_simulations", type=int)
+    p.set_defaults(fn=c.benchmark_mc_cpu_v2)
+
+    p = sub.add_parser(
+        "benchmark-mc-gpu",
+        help="fused accelerator benchmark (ref: benchmark_mc_gpu)",
+    )
+    p.add_argument("n_devices", type=int)
+    p.add_argument("n_months", type=int)
+    p.add_argument("n_simulations", type=int)
+    p.set_defaults(fn=c.benchmark_mc_gpu)
+
+    p = sub.add_parser(
+        "benchmark-mc-reduceblock",
+        help="on-device stats reduction benchmark "
+             "(ref: benchmark_mc_gpu_reduceBlock)",
+    )
+    p.add_argument("n_devices", type=int)
+    p.add_argument("n_months", type=int)
+    p.add_argument("n_simulations", type=int)
+    p.set_defaults(fn=c.benchmark_mc_reduceblock)
+
+    p = sub.add_parser(
+        "benchmark-reduce-mean",
+        help="host-vs-device mean cross-check (ref: benchmark_reduce_mean)",
+    )
+    p.add_argument("n", type=int)
+    p.set_defaults(fn=c.benchmark_reduce_mean)
+
+    p = sub.add_parser(
+        "benchmark-google",
+        help="repeated benchmark with JSON output "
+             "(ref: benchmark_mc_gpu_google)",
+    )
+    p.add_argument("n_months", type=int)
+    p.add_argument("n_simulations", type=int)
+    p.add_argument("--repetitions", type=int, default=10)
+    p.add_argument("--benchmark_out", type=str, default=None)
+    p.set_defaults(fn=c.benchmark_google)
+
+    p = sub.add_parser(
+        "benchmark-compare",
+        help="compare two benchmark JSON files "
+             "(ref: python/benchmark_compare.py)",
+    )
+    p.add_argument("baseline")
+    p.add_argument("contender")
+    p.add_argument("--plot", type=str, default=None,
+                   help="write comparison plot PNG here")
+    p.set_defaults(fn=c.benchmark_compare)
+
+    # --- CSV writers (ref: monte_carlo_simulated / monte_carlo_historical) -
+    p = sub.add_parser(
+        "monte-carlo-simulated",
+        help="write gaussian_#####.csv files (ref: monte_carlo_simulated; "
+             "same hard-coded config)",
+    )
+    p.add_argument("--n-simulations", type=int, default=1000)
+    p.add_argument("--initial-capital", type=float, default=1000.0)
+    p.add_argument("--n-months", type=int, default=360)
+    p.add_argument("--mean", type=float, default=6.0 / 12)
+    p.add_argument("--std", type=float, default=10.0 / 12)
+    p.add_argument("--seed", type=int, default=0)
+    p.add_argument("--out-dir", type=str, default="./outputs/")
+    p.set_defaults(fn=c.monte_carlo_simulated)
+
+    p = sub.add_parser(
+        "monte-carlo-historical",
+        help="write historical_#####.csv files (ref: monte_carlo_historical "
+             "<initial_capital> <n_months> <n_simulations>)",
+    )
+    p.add_argument("initial_capital", type=float)
+    p.add_argument("n_months", type=int)
+    p.add_argument("n_simulations", type=int)
+    p.add_argument("--csv", type=str, default=None,
+                   help="returns CSV (default: reference path or vendored)")
+    p.add_argument("--seed", type=int, default=0)
+    p.add_argument("--out-dir", type=str, default="./outputs/")
+    p.set_defaults(fn=c.monte_carlo_historical)
+
+    # --- visualizers (ref: examples/visualize_*.cpp GUIs) ---
+    p = sub.add_parser(
+        "visualize",
+        help="live progress + stats + fan chart "
+             "(ref: visualize_returns_cpu[_v2]/gpu)",
+    )
+    p.add_argument("n_months", type=int)
+    p.add_argument("n_simulations", type=int)
+    p.add_argument("--target", type=float, default=1000.0)
+    p.add_argument("--model", choices=["historical", "gaussian"],
+                   default="historical")
+    p.add_argument("--seed", type=int, default=0)
+    p.add_argument("--save", type=str, default=None,
+                   help="write the fan/histogram chart to this PNG")
+    p.add_argument("--curves", type=int, default=100,
+                   help="trajectories to draw (ref draws <=100)")
+    p.set_defaults(fn=c.visualize)
+
+    p = sub.add_parser(
+        "visualize-rng",
+        help="PRNG uniformity histograms (ref: visualize_rng)",
+    )
+    p.add_argument("--save", type=str, default=None)
+    p.set_defaults(fn=c.visualize_rng)
+
+    p = sub.add_parser(
+        "visualize-distribution",
+        help="normal pdf/cdf curves (ref: visualize_distribution)",
+    )
+    p.add_argument("--mean", type=float, default=0.0)
+    p.add_argument("--std", type=float, default=1.0)
+    p.add_argument("--save", type=str, default=None)
+    p.set_defaults(fn=c.visualize_distribution)
+
+    # --- data + plots (ref: python/get_data.py, python/plot_returns.py) ---
+    p = sub.add_parser(
+        "get-data",
+        help="fetch S&P500 monthly returns via yfinance "
+             "(ref: python/get_data.py get_data_SP500)",
+    )
+    p.add_argument("--out", type=str,
+                   default="data/SP500_monthly_returns.csv")
+    p.set_defaults(fn=c.get_data)
+
+    p = sub.add_parser(
+        "plot-returns",
+        help="plot one simulation CSV (ref: plot_returns.py plot_returns)",
+    )
+    p.add_argument("--csv_file", required=True)
+    p.add_argument("--save", type=str, default=None)
+    p.set_defaults(fn=c.plot_returns)
+
+    p = sub.add_parser(
+        "plot-many-returns",
+        help="fan + violin plots over outputs/ "
+             "(ref: plot_returns.py plot_many_returns)",
+    )
+    p.add_argument("--dir", type=str, default="outputs/")
+    p.add_argument("--max_n", type=int, default=1000)
+    p.add_argument("--inflation_percent", type=float, default=0.0)
+    p.add_argument("--save", type=str, default=None)
+    p.set_defaults(fn=c.plot_many_returns)
+
+    p = sub.add_parser(
+        "demo-vector-add",
+        help="hello-world device check (ref: example_gpu/vector_add)",
+    )
+    p.add_argument("--n", type=int, default=1_000_000)
+    p.set_defaults(fn=c.demo_vector_add)
+
+    args = parser.parse_args(argv)
+    return args.fn(args)
+
+
+if __name__ == "__main__":
+    sys.exit(main() or 0)

@@ -1,0 +1,71 @@
+"""Yahoo Finance data fetcher (network-gated).
+
+Port of python/get_data.py:11-72: download ^GSPC 1928-01-01..2022-01-01,
+monthly-mean resample of the adjusted close, percent change -> CSV with
+``Date,returns`` (leading NaN row), plus overview plots. Requires the
+optional ``yfinance``/``pandas`` packages and network access; environments
+without them (like CI) use the vendored synthetic snapshot instead.
+"""
+
+from __future__ import annotations
+
+import os
+
+
+def fetch_sp500(out_csv: str = "data/SP500_monthly_returns.csv",
+                start: str = "1928-01-01", end: str = "2022-01-01",
+                plot: bool = True) -> str:
+    try:
+        import yfinance as yf
+    except ImportError as e:
+        raise SystemExit(
+            "yfinance is not installed in this environment; "
+            "use the vendored synthetic returns CSV "
+            "(stock_market_monte_carlo_tpu/data/"
+            "sp500_monthly_returns_synthetic.csv) or install yfinance "
+            "on a machine with network access."
+        ) from e
+    import pandas as pd  # noqa: F401  (yfinance implies pandas)
+
+    print("- Downloading S&P500 data from Yahoo finance...")
+    data = yf.download("^GSPC", start, end)
+    col = "Adj Close" if "Adj Close" in data else "Close"
+    df_monthly = data[[col]].resample("1ME").mean()
+
+    print("- Generating CSV file with monthly returns...")
+    monthly_returns = 100 * df_monthly.pct_change()
+    monthly_returns = monthly_returns.rename(columns={col: "returns"})
+    monthly_returns.index = monthly_returns.index.to_period("M")
+    monthly_returns.index.name = "Date"
+
+    os.makedirs(os.path.dirname(out_csv) or ".", exist_ok=True)
+    monthly_returns.to_csv(out_csv)
+    print(f"- Saved CSV of monthly historical returns to {out_csv!r}")
+
+    if plot:
+        _overview_plots(data[[col]], df_monthly, monthly_returns,
+                        os.path.dirname(out_csv) or ".")
+    print("Done!")
+    return out_csv
+
+
+def _overview_plots(df_daily, df_monthly, monthly_returns, out_dir):
+    import matplotlib
+
+    matplotlib.use("Agg")
+    import matplotlib.pyplot as plt
+
+    fig, ax = plt.subplots(figsize=(16, 10))
+    df_daily.plot(logy=True, ax=ax, label="daily")
+    df_monthly.plot(logy=True, ax=ax, label="monthly")
+    plt.title("Daily and Monthly value of S&P500")
+    plt.tight_layout()
+    plt.savefig(os.path.join(out_dir, "SP500_accumulated_returns.png"))
+
+    fig, ax = plt.subplots(figsize=(16, 10))
+    monthly_returns.plot(ax=ax)
+    plt.title("Monthly returns of S&P500")
+    plt.tight_layout()
+    plt.savefig(os.path.join(out_dir, "SP500_monthly_returns.png"))
+    plt.close("all")
+    print(f"Saved overview plots to {out_dir!r}")
