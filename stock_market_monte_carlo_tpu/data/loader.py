@@ -60,9 +60,10 @@ def read_historical_returns(path: Optional[str] = None) -> np.ndarray:
         from stock_market_monte_carlo_tpu.native import native_read_returns
 
         out = native_read_returns(path)
-        if out is not None:
+        if out is not None and len(out):
             return out
-    except ImportError:
+    except (ImportError, IOError):
+        # fall through to the Python reader, which raises precise errors
         pass
 
     values = []

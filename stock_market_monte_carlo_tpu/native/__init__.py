@@ -61,6 +61,11 @@ def _configure(lib):
         ctypes.c_longlong, ctypes.c_longlong,            # offset, n
         ctypes.POINTER(ctypes.c_double),                 # out (n*dims)
     ]
+    lib.smmc_welford_merge.restype = None
+    lib.smmc_welford_merge.argtypes = [
+        ctypes.POINTER(ctypes.c_double),
+        ctypes.POINTER(ctypes.c_double),
+    ]
 
 
 def available() -> bool:
@@ -97,6 +102,22 @@ def native_write_data_file(path: str, returns: np.ndarray,
         v.ctypes.data_as(ctypes.POINTER(ctypes.c_float)), v.size,
     )
     return rc == 0
+
+
+def native_welford_merge(a: np.ndarray, b: np.ndarray) -> np.ndarray:
+    """Merge [n, mean, M2] partition stats b into a (in place); returns a.
+    Exact Chan et al. combination — the C++ cross-check for
+    ops/reductions.welford_combine."""
+    lib = _lib()
+    if lib is None:
+        raise RuntimeError("native library not built (run `make native`)")
+    a = np.ascontiguousarray(a, np.float64)
+    b = np.ascontiguousarray(b, np.float64)
+    lib.smmc_welford_merge(
+        a.ctypes.data_as(ctypes.POINTER(ctypes.c_double)),
+        b.ctypes.data_as(ctypes.POINTER(ctypes.c_double)),
+    )
+    return a
 
 
 def native_sobol_points(direction: np.ndarray, offset: int,
