@@ -363,8 +363,16 @@ def simulate_stats(
     mesh: Optional[Mesh] = None,
     progress=None,
     keep_final_values: Optional[bool] = None,
+    checkpoint_path: Optional[str] = None,
 ) -> SimulationResult:
-    """Fused simulate+reduce: O(1) host traffic regardless of n_paths."""
+    """Fused simulate+reduce: O(1) host traffic regardless of n_paths.
+
+    With ``checkpoint_path``, accumulated statistics are persisted after
+    every absorbed chunk and an interrupted run resumes from the next chunk
+    boundary with identical results (counter-based RNG makes chunks
+    independent of execution history). The reference has no such mechanism
+    (SURVEY.md section 5: checkpoint/resume "None").
+    """
     t_start = time.perf_counter()
     backend = resolve_backend(options)
     keep_finals = (options.keep_final_values
@@ -391,10 +399,33 @@ def simulate_stats(
     total_stats = red.zero_packed_stats()
     total_hist = np.zeros(spec.n_bins + 2, np.float64)
     finals_parts = []
-    pending = None  # (arrays, paths_done_after)
+    pending = None  # (arrays, paths_done_after, valid, offset_after)
     done = 0
     offset = 0
     remaining = n_paths
+
+    fingerprint = None
+    if checkpoint_path is not None:
+        from stock_market_monte_carlo_tpu.engine import checkpoint as ckpt
+
+        if keep_finals:
+            raise ValueError(
+                "checkpoint_path is not supported with keep_final_values "
+                "(per-path buffers are not checkpointed)"
+            )
+        fingerprint = ckpt.config_fingerprint(
+            model, strategy, n_paths, n_periods, initial_capital, seed,
+            target_amount, spec, f"{backend}/{chunk_b}/{n_dev}",
+        )
+        state = ckpt.load(checkpoint_path, fingerprint)
+        if state is not None:
+            total_stats = state.stats
+            total_hist = state.hist
+            done = state.paths_done
+            offset = state.next_offset
+            remaining = n_paths - done
+            if progress is not None:
+                progress(done, n_paths)
 
     while remaining > 0:
         this_valid_total = min(remaining, per_dispatch)
@@ -433,16 +464,26 @@ def simulate_stats(
             total_stats, total_hist, done = _absorb(
                 pending, total_stats, total_hist, finals_parts, keep_finals
             )
+            _maybe_checkpoint(
+                checkpoint_path, fingerprint, pending[3], done,
+                total_stats, total_hist,
+            )
             if progress is not None:
                 progress(done, n_paths)
-        pending = (out, done + this_valid_total, this_valid_total)
+        pending = (out, done + this_valid_total, this_valid_total,
+                   offset + b * n_dev)
 
         offset += b * n_dev
         remaining -= this_valid_total
 
-    total_stats, total_hist, done = _absorb(
-        pending, total_stats, total_hist, finals_parts, keep_finals
-    )
+    if pending is not None:  # None when a checkpoint was already complete
+        total_stats, total_hist, done = _absorb(
+            pending, total_stats, total_hist, finals_parts, keep_finals
+        )
+        _maybe_checkpoint(
+            checkpoint_path, fingerprint, pending[3], done,
+            total_stats, total_hist,
+        )
     if progress is not None:
         progress(done, n_paths)
 
@@ -466,8 +507,19 @@ def simulate_stats(
     )
 
 
+def _maybe_checkpoint(path, fingerprint, next_offset, done, stats, hist):
+    if path is None:
+        return
+    from stock_market_monte_carlo_tpu.engine import checkpoint as ckpt
+
+    ckpt.save(path, ckpt.CheckpointState(
+        fingerprint=fingerprint, next_offset=int(next_offset),
+        paths_done=int(done), stats=stats, hist=hist,
+    ))
+
+
 def _absorb(pending, total_stats, total_hist, finals_parts, keep_finals):
-    out, done_after, valid = pending
+    out, done_after, valid = pending[:3]
     stats = np.asarray(out[0], np.float64)
     hist = np.asarray(out[1], np.float64)
     merged = np.concatenate([

@@ -68,23 +68,53 @@ def uniform_from_bits(bits_u32) -> jax.Array:
 
 
 def pcg_hash(x):
-    """The reference's ``rand_pcg`` seeding hash (src/simulations.cu:73-79)."""
+    """The reference's ``rand_pcg`` (src/simulations.cu:62-67).
+
+    Faithful port, including its quirk: the C++ takes ``rng_state`` by
+    value, so the LCG advance on line 64 is dead code and the output word
+    is computed from the *input* state directly — rand_pcg is a pure hash
+    of its argument.
+    """
     x = jnp.asarray(x, jnp.uint32)
-    state = x * jnp.uint32(747796405) + jnp.uint32(2891336453)
-    word = ((state >> ((state >> jnp.uint32(28)) + jnp.uint32(4))) ^ state)
+    word = ((x >> ((x >> jnp.uint32(28)) + jnp.uint32(4))) ^ x)
     word = word * jnp.uint32(277803737)
     return (word >> jnp.uint32(22)) ^ word
 
 
 def xorshift_step(state):
-    """One step of the reference's ``xorshift`` (src/simulations.cu:95-98,
-    Liao 2020): x ^= x<<13; x ^= x>>17; x ^= x<<5. Returns (new_state, new_state)
-    — the reference uses the state itself as the output draw."""
+    """One step of the reference kernels' ``xorshift``
+    (src/simulations.cu:70-76, Liao et al. 2020): y ^= y<<11; y ^= y>>7;
+    y ^= y>>12. Returns (new_state, new_state) — the reference uses the
+    state itself as the draw."""
+    y = jnp.asarray(state, jnp.uint32)
+    y = y ^ (y << jnp.uint32(11))
+    y = y ^ (y >> jnp.uint32(7))
+    y = y ^ (y >> jnp.uint32(12))
+    return y, y
+
+
+def xorshift_gm_step(state):
+    """George Marsaglia's 13/17/5 xorshift (reference ``xorshiftGM``,
+    src/simulations.cu:78-84)."""
     x = jnp.asarray(state, jnp.uint32)
     x = x ^ (x << jnp.uint32(13))
     x = x ^ (x >> jnp.uint32(17))
     x = x ^ (x << jnp.uint32(5))
     return x, x
+
+
+def xorshf96(x):
+    """Faithful port of the reference's ``xorshf96``
+    (src/simulations.cu:86-99) — including its quirk: y and z are
+    re-initialized to constants on every call, so it is a pure hash of x,
+    not a 2^96-period generator as its comment claims."""
+    x = jnp.asarray(x, jnp.uint32)
+    y = jnp.uint32(362436069)
+    z = jnp.uint32(521288629)
+    x = x ^ (x << jnp.uint32(16))
+    x = x ^ (x >> jnp.uint32(5))
+    x = x ^ (x << jnp.uint32(1))
+    return x ^ y ^ z  # t=x; x=y; y=z; z=t^x^y with fresh y,z
 
 
 def taus_step(z, s1, s2, s3, m):
@@ -97,6 +127,21 @@ def taus_step(z, s1, s2, s3, m):
 def lcg_step(z, a, c):
     """LCGStep component (src/simulations.cu:45-48)."""
     return jnp.asarray(z, jnp.uint32) * jnp.uint32(a) + jnp.uint32(c)
+
+
+def hybrid_taus_simple_step(state):
+    """HybridTausSimple (src/simulations.cu:50-53): two Tausworthe streams,
+    ~2^60 period. ``state`` is (..., 2) uint32."""
+    z0 = taus_step(state[..., 0], 13, 19, 12, 4294967294)
+    z1 = taus_step(state[..., 1], 2, 25, 4, 4294967288)
+    return jnp.stack([z0, z1], axis=-1), uniform_from_bits(z0 ^ z1)
+
+
+def hybrid_taus_simplest_step(state):
+    """HybridTausSimplest (src/simulations.cu:55-58): one Tausworthe
+    stream, ~2^30 period."""
+    z0 = taus_step(jnp.asarray(state, jnp.uint32), 13, 19, 12, 4294967294)
+    return z0, uniform_from_bits(z0)
 
 
 def hybrid_taus_step(state):

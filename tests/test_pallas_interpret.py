@@ -1,0 +1,71 @@
+"""Pallas kernel coverage on CPU via interpret mode.
+
+The hardware PRNG (`pltpu.prng_seed`) has no CPU lowering, so only the
+Sobol kernels (which fold direction numbers arithmetically) run here; the
+PRNG-based Gaussian/historical kernels are exercised on real TPU by the
+bench harness and the driver's compile check. Sobol is the strongest
+cross-check anyway: the Pallas path must reproduce the XLA path's exact
+points and ICDF, so final values agree to float reassociation.
+"""
+
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+import stock_market_monte_carlo_tpu as smmc
+from stock_market_monte_carlo_tpu.config import EngineOptions
+
+OPTS_PALLAS = EngineOptions(backend="pallas", chunk_paths=8192)
+OPTS_XLA = EngineOptions(backend="xla", chunk_paths=8192)
+
+
+def test_sobol_gaussian_pallas_matches_xla_exactly():
+    m = smmc.SobolGaussianReturns.create(n_periods=24)
+    fp = smmc.simulate_final_values(m, 8192, 24, seed=5, options=OPTS_PALLAS)
+    fx = smmc.simulate_final_values(m, 8192, 24, seed=5, options=OPTS_XLA)
+    np.testing.assert_allclose(fp, fx, rtol=1e-3)
+
+
+def test_sobol_historical_pallas_matches_xla(historical_table):
+    m = smmc.SobolHistoricalBootstrap.create(
+        jnp.asarray(historical_table), n_periods=12
+    )
+    fp = smmc.simulate_final_values(m, 8192, 12, seed=2, options=OPTS_PALLAS)
+    fx = smmc.simulate_final_values(m, 8192, 12, seed=2, options=OPTS_XLA)
+    np.testing.assert_allclose(fp, fx, rtol=1e-3)
+
+
+def test_sobol_pallas_stats_block(historical_table):
+    m = smmc.SobolGaussianReturns.create(n_periods=12)
+    res = smmc.simulate_stats(
+        m, 8192, 12, seed=1, target_amount=1030.0, options=OPTS_PALLAS
+    )
+    ref = smmc.simulate_stats(
+        m, 8192, 12, seed=1, target_amount=1030.0, options=OPTS_XLA
+    )
+    np.testing.assert_allclose(res.mean, ref.mean, rtol=1e-5)
+    np.testing.assert_allclose(res.std, ref.std, rtol=1e-4)
+    assert res.count_below == ref.count_below
+    # histograms may differ by boundary-bin jitter from float reassociation
+    # (a ~1e-7 relative shift moves a path across a narrow bin edge); the
+    # CDF can therefore differ only transiently at single-bin scale
+    assert res.histogram_counts.sum() == ref.histogram_counts.sum()
+    cdf_diff = np.abs(
+        np.cumsum(res.histogram_counts) - np.cumsum(ref.histogram_counts)
+    )
+    assert cdf_diff.max() <= 8
+
+
+def test_sobol_pallas_strategies():
+    from stock_market_monte_carlo_tpu.models.strategies import (
+        FixedPercentWithdrawal,
+    )
+
+    m = smmc.SobolGaussianReturns.create(n_periods=12)
+    base = smmc.simulate_final_values(m, 8192, 12, seed=3,
+                                      options=OPTS_PALLAS)
+    w = smmc.simulate_final_values(
+        m, 8192, 12, seed=3, strategy=FixedPercentWithdrawal(1.0),
+        options=OPTS_PALLAS,
+    )
+    np.testing.assert_allclose(w, base * 0.99**12, rtol=1e-4)

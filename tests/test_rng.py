@@ -16,16 +16,26 @@ from stock_market_monte_carlo_tpu.ops import rng as r
 M32 = 0xFFFFFFFF
 
 
-def _xorshift_py(x):
+def _xorshift_py(y):
+    # Liao 2020, as in the reference kernels (src/simulations.cu:70-76)
+    y ^= (y << 11) & M32
+    y &= M32
+    y ^= y >> 7
+    y ^= y >> 12
+    return y & M32
+
+
+def _xorshift_gm_py(x):
     x ^= (x << 13) & M32
     x ^= x >> 17
     x ^= (x << 5) & M32
-    return x
+    return x & M32
 
 
 def _pcg_py(x):
-    state = (x * 747796405 + 2891336453) & M32
-    word = (((state >> ((state >> 28) + 4)) ^ state) * 277803737) & M32
+    # rand_pcg hashes its *input* (the LCG advance is dead code because the
+    # C++ takes the state by value — src/simulations.cu:62-67)
+    word = (((x >> ((x >> 28) + 4)) ^ x) * 277803737) & M32
     return ((word >> 22) ^ word) & M32
 
 
@@ -34,6 +44,34 @@ def test_xorshift_port_matches_python_reference():
     got, _ = r.xorshift_step(jnp.asarray(xs))
     want = [_xorshift_py(int(x)) for x in xs]
     np.testing.assert_array_equal(np.asarray(got, np.int64), want)
+
+
+def test_xorshift_gm_port():
+    xs = np.asarray([1, 99, 0xABCDEF01], np.uint32)
+    got, _ = r.xorshift_gm_step(jnp.asarray(xs))
+    want = [_xorshift_gm_py(int(x)) for x in xs]
+    np.testing.assert_array_equal(np.asarray(got, np.int64), want)
+
+
+def test_xorshf96_is_pure_hash():
+    # y/z reset every call in the reference, so equal inputs map to equal
+    # outputs (documented quirk)
+    a = r.xorshf96(jnp.asarray([7, 7, 123], jnp.uint32))
+    assert int(a[0]) == int(a[1])
+    x = 123
+    x ^= (x << 16) & M32
+    x ^= x >> 5
+    x ^= (x << 1) & M32
+    want = (x ^ 362436069 ^ 521288629) & M32
+    assert int(a[2]) == want
+
+
+def test_hybrid_taus_simple_variants():
+    st2 = jnp.asarray([[129, 257]], jnp.uint32)
+    new2, u2 = r.hybrid_taus_simple_step(st2)
+    assert new2.shape == (1, 2) and 0 <= float(u2[0]) < 1
+    new1, u1 = r.hybrid_taus_simplest_step(jnp.asarray([129], jnp.uint32))
+    assert 0 <= float(u1[0]) < 1
 
 
 def test_pcg_hash_port_matches_python_reference():
