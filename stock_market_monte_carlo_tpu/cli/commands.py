@@ -57,17 +57,12 @@ def benchmark_mc_cpu_v2(args):
 
 
 def _mesh(n_devices):
-    import jax
-    from jax.sharding import Mesh
+    from stock_market_monte_carlo_tpu.parallel import paths_mesh
 
-    if n_devices <= 1:
-        return None
-    devs = jax.devices()
-    if len(devs) < n_devices:
-        raise SystemExit(
-            f"requested {n_devices} devices, only {len(devs)} present"
-        )
-    return Mesh(np.asarray(devs[:n_devices]), ("paths",))
+    try:
+        return paths_mesh(n_devices)
+    except ValueError as e:
+        raise SystemExit(str(e))
 
 
 def benchmark_mc_gpu(args):

@@ -50,6 +50,13 @@ class EngineOptions:
     donate: bool = True
     # Which jax.random implementation keys are created with (None = default).
     rng_impl: Optional[str] = None
+    # Gaussian sampling algorithm on the Pallas backend:
+    #  - "icdf": inverse-CDF per draw (polynomial erfinv; default)
+    #  - "clt":  MXU orthogonal-mix sampler — 64 uniforms mixed through a
+    #    random orthogonal matrix per month block. Exact mean/variance/skew;
+    #    per-month excess kurtosis -1.2/64 (washes out over the horizon's
+    #    convolution). ~2x faster; multiplicative strategies only.
+    gaussian_sampler: str = "icdf"
 
     def __post_init__(self):
         if self.path_tile % 1024 != 0:

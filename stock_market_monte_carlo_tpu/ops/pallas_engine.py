@@ -212,6 +212,158 @@ def _build_kernel(kind: str, strategy_kind: str, n_periods: int,
     return kernel
 
 
+# ---------------------------------------------------------------------------
+# CLT "turbo" Gaussian sampler.
+#
+# Instead of one inverse-CDF per (path, month), a tile draws a (P, K) block
+# of 16-bit uniforms and mixes it through a fixed random orthogonal matrix Q
+# on the MXU: z = u @ Q. Each z column is a weighted sum of K i.i.d.
+# uniforms — exactly mean 0 / variance 1 / zero skew, with excess kurtosis
+# -1.2/K per month that is further suppressed by the T-month convolution of
+# the compound product. Q is *random* orthogonal (not Hadamard: the Walsh
+# closure H_ij H_ik = H_{i,j^k} creates 4th-order cross-moments between
+# months of a block — measured as a K-proportional variance deficit — which
+# a generic orthogonal matrix does not have). Q is stored in bf16 and the
+# per-column scale correction sqrt(12)/||q_col||_bf16 restores unit variance
+# exactly.
+#
+# Layout is path-per-row (P, K): months of a block live in lanes, so the
+# final-value histogram one-hots are (P, 64) matmuls with no relayout, and
+# the whole tile's histogram is accumulated on the MXU in-kernel.
+# ---------------------------------------------------------------------------
+
+CLT_P = 2048   # paths per CLT tile
+CLT_K = 128    # months per block = mixing dimension
+
+
+@lru_cache(maxsize=4)
+def _clt_qmatrix(k: int):
+    import ml_dtypes
+
+    rng = np.random.default_rng(0x51C7)
+    q, _ = np.linalg.qr(rng.standard_normal((k, k)))
+    # column norms of the *bf16-rounded* matrix (pure numpy: this may run
+    # inside a jit trace), so the variance correction is exact
+    q_bf16 = q.astype(ml_dtypes.bfloat16)
+    q_bf = q_bf16.astype(np.float64)
+    colnorm = np.sqrt((q_bf ** 2).sum(axis=0))
+    colscale = (np.sqrt(12.0) / colnorm).astype(np.float32)
+    return np.asarray(q_bf16), colscale[None, :]
+
+
+def _build_clt_kernel(n_periods: int, n_hist_total: int):
+    P, K = CLT_P, CLT_K
+    nblocks = -(-n_periods // K)
+
+    def kernel(iscal, fscal, q_ref, cs_ref, finals_ref, partials_ref,
+               hist_ref):
+        pid = pl.program_id(0)
+        tile = iscal[1] + pid
+        pltpu.prng_seed(_tile_seed_i32(iscal[0], tile))
+        a, target = fscal[1], fscal[4]
+        v0 = fscal[0]
+        log_lo, inv_w = fscal[5], fscal[6]
+        q = q_ref[:]
+        cs = cs_ref[:] * fscal[2]  # colscale * b
+
+        col = jax.lax.broadcasted_iota(jnp.int32, (P, K), 1)
+
+        def body(j, prod):
+            bits = pltpu.prng_random_bits((P, K))
+            u = (jax.lax.shift_right_logical(bits, 16).astype(jnp.float32)
+                 * jnp.float32(2.0**-16) - 0.5)
+            z = jax.lax.dot_general(
+                u.astype(jnp.bfloat16), q, (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )
+            # months beyond the horizon contribute growth factor 1
+            gfac = jnp.where(col < n_periods - j * K, a + z * cs, 1.0)
+            return prod * gfac
+
+        prod = jax.lax.fori_loop(
+            0, nblocks, body, jnp.ones((P, K), jnp.float32)
+        )
+        finals = v0 * jnp.exp(
+            jnp.sum(jnp.log(prod), axis=1, keepdims=True)
+        )
+        finals_ref[:] = finals
+
+        rows = jax.lax.broadcasted_iota(jnp.int32, (P, 1), 0)
+        mask = (pid * P + rows) < iscal[2]
+        f = jnp.where(mask, finals, 0.0)
+        f2 = f * f
+        s1 = jnp.sum(f)
+        s2 = jnp.sum(f2)
+        s3 = jnp.sum(f2 * f)
+        s4 = jnp.sum(f2 * f2)
+        mn = jnp.min(jnp.where(mask, finals, jnp.inf))
+        mx = jnp.max(jnp.where(mask, finals, -jnp.inf))
+        cb = jnp.sum(jnp.where(mask & (finals < target), 1.0, 0.0))
+
+        # assemble the (N_PARTIAL_ROWS, 128) partials block: scalars live in
+        # lane 0; min/max rows pad with +/-inf so the cross-tile reduction
+        # stays correct
+        r_io = jax.lax.broadcasted_iota(jnp.int32, (N_PARTIAL_ROWS, 128), 0)
+        l_io = jax.lax.broadcasted_iota(jnp.int32, (N_PARTIAL_ROWS, 128), 1)
+        out = jnp.where(r_io == 4, jnp.inf,
+                        jnp.where(r_io == 5, -jnp.inf, 0.0))
+        lane0 = l_io == 0
+        for r_idx, val in ((0, s1), (1, s2), (2, s3), (3, s4),
+                           (4, mn), (5, mx), (6, cb)):
+            out = jnp.where(lane0 & (r_io == r_idx), val, out)
+        partials_ref[:] = out
+
+        # in-kernel MXU histogram: counts[h,l] = sum_p oh_hiT[h,p]*oh_lo[p,l]
+        # — a natural (64,P)@(P,64) matmul, no operand transposes
+        logv = jnp.log(jnp.maximum(finals, 1e-37))
+        raw = jnp.floor((logv - log_lo) * inv_w).astype(jnp.int32) + 1
+        bins = jnp.clip(raw, 1, n_hist_total - 1)
+        bins = jnp.where(logv < log_lo, 0, bins)
+        bins = jnp.where(mask, bins, n_hist_total)  # discard padding
+        bins_t = jax.lax.transpose(bins, (1, 0))    # (1, P) — one vreg row
+        k_col = jax.lax.broadcasted_iota(jnp.int32, (64, P), 0)
+        k_io = jax.lax.broadcasted_iota(jnp.int32, (P, 64), 1)
+        oh_hi_t = ((bins_t >> 6) == k_col).astype(jnp.bfloat16)
+        oh_lo = ((bins & 63) == k_io).astype(jnp.bfloat16)
+        hist_ref[:] = jax.lax.dot_general(
+            oh_hi_t, oh_lo, (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+
+    return kernel
+
+
+@lru_cache(maxsize=32)
+def _build_clt_call(n_periods: int, n_hist_total: int, ntiles: int,
+                    interpret: bool):
+    kernel = _build_clt_kernel(n_periods, n_hist_total)
+    return pl.pallas_call(
+        kernel,
+        grid=(ntiles,),
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+        ],
+        out_specs=(
+            pl.BlockSpec((CLT_P, 1), lambda i: (i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((N_PARTIAL_ROWS, 128), lambda i: (i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((64, 64), lambda i: (i, 0),
+                         memory_space=pltpu.VMEM),
+        ),
+        out_shape=(
+            jax.ShapeDtypeStruct((ntiles * CLT_P, 1), jnp.float32),
+            jax.ShapeDtypeStruct((ntiles * N_PARTIAL_ROWS, 128),
+                                 jnp.float32),
+            jax.ShapeDtypeStruct((ntiles * 64, 64), jnp.float32),
+        ),
+        interpret=interpret,
+    )
+
+
 @lru_cache(maxsize=64)
 def _build_pallas_call(kind: str, strategy_kind: str, n_periods: int,
                        n_table_chunks: int, ntiles: int, interpret: bool):
@@ -260,20 +412,77 @@ def _pad_table(returns_pct: jax.Array):
     return flat.reshape(c, 128), n
 
 
+def _seed_base_i32(root_key):
+    kd = jax.random.key_data(root_key).astype(jnp.uint32).ravel()
+    return jax.lax.bitcast_convert_type(
+        kd[0] ^ (kd[-1] * jnp.uint32(0x6C62272E)), jnp.int32
+    )
+
+
+def _clt_chunk_stats(model, strategy, root_key, v0, path_offset, valid,
+                     target, *, n_periods, chunk_shape_b, spec, keep_finals):
+    """CLT-sampler chunk (Gaussian, no-withdrawal): same output contract."""
+    assert chunk_shape_b % CLT_P == 0, (chunk_shape_b, CLT_P)
+    hb = spec.n_bins + 2
+    assert hb % 64 == 0 and hb <= 4096, hb
+    ntiles = chunk_shape_b // CLT_P
+    interpret = jax.default_backend() != "tpu"
+
+    q, colscale = _clt_qmatrix(CLT_K)
+    a = 1.0 + jnp.asarray(model.mean_pct, jnp.float32) * 0.01
+    b = jnp.asarray(model.std_pct, jnp.float32) * 0.01
+    tile0 = jax.lax.bitcast_convert_type(
+        jnp.asarray(path_offset, jnp.uint32) // jnp.uint32(CLT_P), jnp.int32
+    )
+    iscal = jnp.stack([
+        _seed_base_i32(root_key) ^ jnp.int32(0x11C7),  # own stream family
+        tile0, jnp.asarray(valid, jnp.int32),
+        jnp.int32(0), jnp.int32(0), jnp.int32(0), jnp.int32(0), jnp.int32(0),
+    ])
+    fscal = jnp.stack([
+        jnp.asarray(v0, jnp.float32), a, b, jnp.float32(0),
+        jnp.asarray(target, jnp.float32),
+        jnp.float32(spec.log_lo), jnp.float32(1.0 / spec.width),
+        jnp.float32(0),
+    ])
+    call = _build_clt_call(n_periods, hb, ntiles, interpret)
+    finals2d, partials, hist_tiles = call(iscal, fscal, q, colscale)
+
+    p = partials.reshape(ntiles, N_PARTIAL_ROWS, 128)
+    stats = jnp.concatenate([
+        jnp.asarray(valid, jnp.float32)[None],
+        jnp.sum(p[:, 0:4], axis=(0, 2)),
+        jnp.min(p[:, 4])[None],
+        jnp.max(p[:, 5])[None],
+        jnp.sum(p[:, 6])[None],
+        jnp.zeros((1,), jnp.float32),  # withdrawn (strategy is none)
+    ])
+    hist = jnp.sum(
+        hist_tiles.reshape(ntiles, 64, 64), axis=0
+    ).reshape(-1)[:hb]
+    if keep_finals:
+        return stats, hist, finals2d.reshape(-1)
+    return stats, hist
+
+
 def pallas_chunk_stats(model, strategy, root_key, scramble_key, v0,
                        path_offset, valid, target, *, n_periods,
-                       chunk_shape_b, spec, keep_finals):
+                       chunk_shape_b, spec, keep_finals, sampler="icdf"):
     """Drop-in replacement for engine.chunk_stats on TPU (same contract)."""
+    if (sampler == "clt" and model.kind == "gaussian"
+            and strategy.kind == "none"):
+        return _clt_chunk_stats(
+            model, strategy, root_key, v0, path_offset, valid, target,
+            n_periods=n_periods, chunk_shape_b=chunk_shape_b, spec=spec,
+            keep_finals=keep_finals,
+        )
     assert chunk_shape_b % TILE_PATHS == 0, (chunk_shape_b, TILE_PATHS)
     ntiles = chunk_shape_b // TILE_PATHS
     kind = model.kind
     strategy_kind = strategy.kind
     interpret = jax.default_backend() != "tpu"
 
-    kd = jax.random.key_data(root_key).astype(jnp.uint32).ravel()
-    seed_base = jax.lax.bitcast_convert_type(
-        kd[0] ^ (kd[-1] * jnp.uint32(0x6C62272E)), jnp.int32
-    )
+    seed_base = _seed_base_i32(root_key)
     tile0 = jax.lax.bitcast_convert_type(
         jnp.asarray(path_offset, jnp.uint32) // jnp.uint32(TILE_PATHS),
         jnp.int32,

@@ -1,0 +1,86 @@
+"""TPU-hardware validation (skipped on the CPU test mesh).
+
+These exercise the hardware-PRNG Pallas kernels, which have no CPU
+lowering. Run manually on a TPU host with:
+
+    JAX_PLATFORMS=axon python -m pytest tests/test_tpu_only.py -q -p no:cacheprovider --override-ini=addopts=
+
+(the default conftest forces CPU; this module re-checks the live backend
+and skips unless it's really TPU).
+"""
+
+import numpy as np
+import pytest
+
+import jax
+
+pytestmark = pytest.mark.skipif(
+    jax.default_backend() != "tpu", reason="requires real TPU"
+)
+
+
+def _opts(**kw):
+    from stock_market_monte_carlo_tpu.config import EngineOptions
+
+    return EngineOptions(chunk_paths=2**21, **kw)
+
+
+def test_gaussian_pallas_analytic_moments():
+    import stock_market_monte_carlo_tpu as smmc
+
+    n, t = 2**21, 360
+    res = smmc.simulate_stats(smmc.GaussianReturns(), n, t, seed=3,
+                              options=_opts())
+    mean_a = 1000 * 1.005**t
+    m1, s1 = 1.005, 10 / 12 / 100
+    std_a = mean_a * np.sqrt(((m1 * m1 + s1 * s1) / (m1 * m1)) ** t - 1)
+    assert abs(res.mean - mean_a) < 5 * std_a / np.sqrt(n)
+    assert abs(res.std - std_a) / std_a < 5e-3
+
+
+def test_clt_sampler_statistical_parity():
+    """CLT turbo sampler must match the exact-ICDF engine's distribution
+    to well inside the 1e-3 bar on mean/std/quantiles."""
+    import stock_market_monte_carlo_tpu as smmc
+
+    n, t = 2**22, 360
+    a = smmc.simulate_stats(smmc.GaussianReturns(), n, t, seed=3,
+                            options=_opts())
+    b = smmc.simulate_stats(smmc.GaussianReturns(), n, t, seed=3,
+                            options=_opts(gaussian_sampler="clt"))
+    se_mean = a.std / np.sqrt(n)
+    assert abs(a.mean - b.mean) < 5 * se_mean
+    assert abs(a.std - b.std) / a.std < 3e-3
+    qa = a.quantiles([0.01, 0.05, 0.5, 0.95, 0.99])
+    qb = b.quantiles([0.01, 0.05, 0.5, 0.95, 0.99])
+    for q in qa:
+        assert abs(qa[q] - qb[q]) / qa[q] < 3e-3, q
+
+
+def test_historical_pallas_matches_table_moments(historical_table):
+    import jax.numpy as jnp
+
+    import stock_market_monte_carlo_tpu as smmc
+
+    m = smmc.HistoricalBootstrap(jnp.asarray(historical_table))
+    n, t = 2**21, 360
+    res = smmc.simulate_stats(m, n, t, seed=2, options=_opts())
+    g = (100 + historical_table.astype(np.float64)) / 100
+    mean_a = 1000.0 * g.mean() ** t
+    var_a = 1000.0**2 * ((g**2).mean() ** t - g.mean() ** (2 * t))
+    assert abs(res.mean - mean_a) < 5 * np.sqrt(var_a / n)
+
+
+def test_pallas_chunk_invariance_tpu():
+    import stock_market_monte_carlo_tpu as smmc
+
+    n, t = 2**16, 24
+    a = smmc.simulate_final_values(
+        smmc.GaussianReturns(), n, t, seed=9,
+        options=_opts().__class__(chunk_paths=2**14),
+    )
+    b = smmc.simulate_final_values(
+        smmc.GaussianReturns(), n, t, seed=9,
+        options=_opts().__class__(chunk_paths=2**16),
+    )
+    np.testing.assert_array_equal(a, b)
