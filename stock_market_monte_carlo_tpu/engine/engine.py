@@ -440,8 +440,12 @@ def simulate_stats(
         if n_paths > per_dispatch:
             b = chunk_b
         else:
+            # bucket small runs to the next power of two so arbitrary path
+            # counts reuse a handful of compiled shapes (compiles cost
+            # seconds; padded paths cost microseconds)
             b = _round_up(_round_up(this_valid_total, n_dev) // n_dev,
                           KEY_TILE)
+            b = min(chunk_b, 1 << (b - 1).bit_length())
         fn = _get_chunk_fn(
             model.kind, strategy.kind, n_periods, b, spec, keep_finals,
             mesh, backend, options.gaussian_sampler,

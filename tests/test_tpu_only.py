@@ -71,6 +71,24 @@ def test_historical_pallas_matches_table_moments(historical_table):
     assert abs(res.mean - mean_a) < 5 * np.sqrt(var_a / n)
 
 
+def test_clt_keep_finals_and_masking():
+    import stock_market_monte_carlo_tpu as smmc
+
+    n = 2**21 + 12345  # ragged
+    res = smmc.simulate_stats(
+        smmc.GaussianReturns(), n, 60, seed=4,
+        options=_opts(gaussian_sampler="clt"), keep_final_values=True,
+    )
+    assert res.final_values.shape == (n,)
+    assert np.all(res.final_values > 0)
+    assert res.moments.n == n
+    # stats derived from kept finals must agree with in-kernel stats
+    np.testing.assert_allclose(res.final_values.mean(), res.mean, rtol=1e-5)
+    np.testing.assert_allclose(
+        res.final_values.min(), res.moments.min, rtol=1e-6
+    )
+
+
 def test_pallas_chunk_invariance_tpu():
     import stock_market_monte_carlo_tpu as smmc
 
