@@ -41,9 +41,10 @@ def main():
     gauss = smmc.GaussianReturns()
     hist = smmc.HistoricalBootstrap.from_csv()
 
-    # warmup/compile
+    # warmup/compile with the exact shapes each config dispatches
+    smmc.simulate_final_values(gauss, n1, t_mo, seed=1, options=opts)
+    smmc.simulate_stats(hist, n1, t_mo, seed=1, options=opts)
     smmc.simulate_stats(gauss, opts.chunk_paths, t_mo, seed=1, options=opts)
-    smmc.simulate_stats(hist, opts.chunk_paths, t_mo, seed=1, options=opts)
 
     # 1. Gaussian v2 final-only
     t0 = time.perf_counter()
@@ -58,7 +59,7 @@ def main():
           {"mean": round(res.mean, 2)})
 
     # 3. v1 store-all-paths (trajectory bands) — capped like the reference
-    n3 = 65_536 if quick else 262_144
+    n3 = 16_384 if quick else 65_536
     t0 = time.perf_counter()
     traj = np.asarray(smmc.simulate_paths(hist, n3, t_mo, seed=3))
     bands = np.percentile(traj, [5, 25, 50, 75, 95], axis=0)

@@ -72,9 +72,21 @@ def benchmark_mc_gpu(args):
 
 def benchmark_mc_reduceblock(args):
     # the fused on-device stats path is the default engine; this command
-    # exists for argv parity with benchmark_mc_gpu_reduceBlock
-    _run_benchmark(args.n_months, args.n_simulations,
-                   mesh=_mesh(args.n_devices))
+    # exists for argv parity with benchmark_mc_gpu_reduceBlock, including
+    # its CLT count-below estimate print (the reference's only option —
+    # benchmark_mc_gpu_reduceBlock.cpp:65-70,109-113 — shown here next to
+    # the exact on-device count it couldn't compute)
+    import numpy as np
+
+    from stock_market_monte_carlo_tpu.ops.normal import count_below_clt
+
+    res = _run_benchmark(args.n_months, args.n_simulations,
+                         mesh=_mesh(args.n_devices))
+    est = float(np.asarray(count_below_clt(
+        1000.0, res.mean, res.std, res.n_paths
+    )))
+    print(f"count_below 1000.0 (CLT estimate, ref parity): {est:,.0f} "
+          f"({100 * est / res.n_paths:.4f}%)")
 
 
 def benchmark_reduce_mean(args):

@@ -596,6 +596,17 @@ def simulate_paths(
     return traj[:n_paths]
 
 
+def simulate(config, model, strategy=NoWithdrawal(),
+             options: EngineOptions = EngineOptions(),
+             mesh: Optional[Mesh] = None, progress=None) -> SimulationResult:
+    """Config-object entry point: run a ``SimulationConfig`` experiment."""
+    return simulate_stats(
+        model, config.n_paths, config.n_periods, config.initial_capital,
+        config.seed, strategy, config.target_amount, options, mesh,
+        progress,
+    )
+
+
 def run(
     model,
     n_paths: int,
