@@ -23,19 +23,15 @@ DEFAULT_GAUSSIAN_STD_PCT = 10.0 / 12
 class EngineOptions:
     """Execution knobs; all have TPU-sensible defaults.
 
-    ``path_tile`` is the number of paths simulated per Pallas grid step —
-    the moral equivalent of the reference's CUDA block (THREADS_PER_BLOCK=256,
-    src/simulations.cu:17), except tiles here are 2D (sublane x lane) vector
-    registers. It also fixes the granularity of the counter-based RNG: the
-    stream for tile ``i`` depends only on the *global* tile index, so results
-    are invariant to how tiles are distributed over chips.
+    Tile sizes are fixed by the kernels (8192 paths per exact-sampler tile,
+    2048 per CLT tile — the moral equivalents of the reference's
+    THREADS_PER_BLOCK=256, src/simulations.cu:17) and double as the RNG
+    granularity: a tile's stream depends only on its *global* index, so
+    results are invariant to chunking and sharding.
     """
 
     # 'auto' picks pallas on TPU, xla elsewhere.
     backend: str = "auto"
-    # Paths per Pallas tile. Must be a multiple of 1024 (8 sublanes x 128
-    # lanes of fp32).
-    path_tile: int = 8192
     # Paths per single device dispatch; large runs loop over macro-chunks of
     # this size so the host can report progress and stay under HBM limits.
     chunk_paths: int = 2**24
@@ -46,10 +42,6 @@ class EngineOptions:
     # When True, compute per-path final values in addition to fused stats
     # (needed for exact quantiles; costs an HBM write of 4 bytes/path).
     keep_final_values: bool = False
-    # Donate input buffers where profitable.
-    donate: bool = True
-    # Which jax.random implementation keys are created with (None = default).
-    rng_impl: Optional[str] = None
     # Gaussian sampling algorithm on the Pallas backend:
     #  - "icdf": inverse-CDF per draw (polynomial erfinv; default)
     #  - "clt":  MXU orthogonal-mix sampler — 64 uniforms mixed through a
@@ -59,14 +51,15 @@ class EngineOptions:
     gaussian_sampler: str = "icdf"
 
     def __post_init__(self):
-        if self.path_tile % 1024 != 0:
+        if self.chunk_paths % 8192 != 0:
             raise ValueError(
-                f"path_tile must be a multiple of 1024, got {self.path_tile}"
+                "chunk_paths must be a multiple of 8192 (the RNG/path tile),"
+                f" got {self.chunk_paths}"
             )
-        if self.chunk_paths % self.path_tile != 0:
+        if self.gaussian_sampler not in ("icdf", "clt"):
             raise ValueError(
-                "chunk_paths must be a multiple of path_tile "
-                f"({self.chunk_paths} % {self.path_tile} != 0)"
+                f"gaussian_sampler must be 'icdf' or 'clt', "
+                f"got {self.gaussian_sampler!r}"
             )
 
 

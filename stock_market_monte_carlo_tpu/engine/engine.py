@@ -120,6 +120,8 @@ def sample_growth(model, root_key, scramble_key, path_offset, shape):
     b, t = shape
     if model.is_quasi:
         r = model.sample_returns_pct_quasi(scramble_key, path_offset, shape)
+    elif getattr(model, "rng", "counter") == "reference":
+        r = model.sample_returns_pct_reference(path_offset, shape)
     else:
         # Always sample at KEY_TILE granularity: draws for global path p
         # then depend only on (seed, p // KEY_TILE, p % KEY_TILE), never on
@@ -447,7 +449,8 @@ def simulate_stats(
                           KEY_TILE)
             b = min(chunk_b, 1 << (b - 1).bit_length())
         fn = _get_chunk_fn(
-            model.kind, strategy.kind, n_periods, b, spec, keep_finals,
+            (model.kind, getattr(model, "rng", "counter")),
+            strategy.kind, n_periods, b, spec, keep_finals,
             mesh, backend, options.gaussian_sampler,
         )
         if mesh is None:

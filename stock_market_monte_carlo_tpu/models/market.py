@@ -67,7 +67,7 @@ class GaussianReturns:
 @partial(
     jax.tree_util.register_dataclass,
     data_fields=["returns_pct"],
-    meta_fields=[],
+    meta_fields=["rng"],
 )
 @dataclasses.dataclass(frozen=True)
 class HistoricalBootstrap:
@@ -75,24 +75,49 @@ class HistoricalBootstrap:
 
     ``returns_pct`` is the `returns` column of the S&P500 CSV, in percent
     (reference loader: src/simulations.cpp:83-93).
+
+    ``rng`` selects the bit stream:
+      - "counter" (default): counter-based hardware-PRNG streams keyed by
+        global tile — reproducible and sharding-invariant.
+      - "reference": the reference GPU kernel's exact per-path recipe —
+        state0 = rand_pcg(path_id + 1), then one xorshift step per month
+        (src/simulations.cu:140-150) — as a cross-implementation parity
+        mode. Path p draws the same sequence on the Pallas kernel, the XLA
+        engine, and the jnp ports in ops/rng.py.
     """
 
     returns_pct: jax.Array
+    rng: str = "counter"
 
     kind = "historical"
     is_quasi = False
 
     @classmethod
-    def from_csv(cls, path=None) -> "HistoricalBootstrap":
+    def from_csv(cls, path=None, rng: str = "counter") -> "HistoricalBootstrap":
         from stock_market_monte_carlo_tpu.data.loader import (
             read_historical_returns,
         )
 
-        return cls(returns_pct=jnp.asarray(read_historical_returns(path)))
+        return cls(
+            returns_pct=jnp.asarray(read_historical_returns(path)), rng=rng
+        )
 
     def sample_returns_pct(self, key: jax.Array, shape) -> jax.Array:
         table = jnp.asarray(self.returns_pct, jnp.float32)
         idx = jax.random.randint(key, shape, 0, table.shape[0])
+        return table[idx]
+
+    def sample_returns_pct_reference(self, path_offset, shape) -> jax.Array:
+        """Reference-recipe draws for global paths
+        [path_offset, path_offset+B) — see class docstring."""
+        from stock_market_monte_carlo_tpu.ops import rng as rng_ops
+
+        b, t = shape
+        table = jnp.asarray(self.returns_pct, jnp.float32)
+        gids = (jnp.asarray(path_offset, jnp.uint32)
+                + jnp.arange(b, dtype=jnp.uint32))
+        bits = rng_ops.xorshift_stream(gids + jnp.uint32(1), t)
+        idx = rng_ops.bootstrap_index_exact(bits, table.shape[0])
         return table[idx]
 
 

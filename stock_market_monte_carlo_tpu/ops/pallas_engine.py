@@ -92,8 +92,35 @@ def _tile_seed_i32(seed_base_i32, tile_i32):
     return x ^ _shr(x, 16)
 
 
+def _pcg_hash_i32(x):
+    """rand_pcg as int32 vector math (reference src/simulations.cu:62-67;
+    the hash-of-input form — see ops/rng.pcg_hash)."""
+    amt = jax.lax.shift_right_logical(x, jnp.int32(28)) + jnp.int32(4)
+    word = (jax.lax.shift_right_logical(x, amt) ^ x) * jnp.int32(277803737)
+    return jax.lax.shift_right_logical(word, jnp.int32(22)) ^ word
+
+
+def _xorshift_i32(y):
+    """Liao xorshift step (reference src/simulations.cu:70-76)."""
+    y = y ^ (y << jnp.int32(11))
+    y = y ^ jax.lax.shift_right_logical(y, jnp.int32(7))
+    return y ^ jax.lax.shift_right_logical(y, jnp.int32(12))
+
+
+def _bootstrap_idx_exact_i32(st, n_i32):
+    """idx = floor(n * u32 / 2^32) via 16-bit split (exact for n < 2^15);
+    integer form of the reference's float mapping (src/simulations.cu:148).
+    Matches ops/rng.bootstrap_index_exact bit for bit."""
+    h = jax.lax.shift_right_logical(st, jnp.int32(16))
+    lo = st & jnp.int32(0xFFFF)
+    return jax.lax.shift_right_logical(
+        n_i32 * h + jax.lax.shift_right_logical(n_i32 * lo, jnp.int32(16)),
+        jnp.int32(16),
+    )
+
+
 def _build_kernel(kind: str, strategy_kind: str, n_periods: int,
-                  n_table_chunks: int):
+                  n_table_chunks: int, rng_mode: str = "counter"):
     """Kernel specialized on (model kind, strategy kind, horizon).
 
     Ref layout (inputs then outputs):
@@ -154,26 +181,27 @@ def _build_kernel(kind: str, strategy_kind: str, n_periods: int,
             acc = acc ^ shift_ref[t, 0]
             return _u23_from_bits(acc)
 
+        def table_lookup(idx):
+            within = idx & 127
+            chunk = jax.lax.shift_right_logical(idx, 7)
+            val = jnp.zeros((TILE_ROWS, 128), jnp.float32)
+            for c in range(n_table_chunks):
+                tc = jnp.broadcast_to(
+                    table_ref[c, :][None, :], (TILE_ROWS, 128)
+                )
+                g = jnp.take_along_axis(tc, within, axis=1)
+                val = jnp.where(chunk == c, g, val)
+            return val
+
         def growth(t):
             u = uniforms(t)
             if is_hist:
-                idx = (u * n_table_f).astype(jnp.int32)
-                within = idx & 127
-                chunk = jax.lax.shift_right_logical(idx, 7)
-                val = jnp.zeros((TILE_ROWS, 128), jnp.float32)
-                for c in range(n_table_chunks):
-                    tc = jnp.broadcast_to(
-                        table_ref[c, :][None, :], (TILE_ROWS, 128)
-                    )
-                    g = jnp.take_along_axis(tc, within, axis=1)
-                    val = jnp.where(chunk == c, g, val)
-                return val
+                return table_lookup((u * n_table_f).astype(jnp.int32))
             z = jnp.float32(_SQRT2) * _erfinv_poly(2.0 * u - 1.0)
             return a + b * z
 
-        def body(t, carry):
-            total, wsum = carry
-            grown = total * growth(t)
+        def apply_strategy(t, total, wsum, gfac):
+            grown = total * gfac
             if strategy_kind == "none":
                 return grown, wsum
             if has_keep:
@@ -185,9 +213,35 @@ def _build_kernel(kind: str, strategy_kind: str, n_periods: int,
                 return new, wsum + (grown - new)
             raise AssertionError(strategy_kind)
 
-        init = (jnp.full((TILE_ROWS, 128), 1.0, jnp.float32) * v0,
-                jnp.zeros((TILE_ROWS, 128), jnp.float32))
-        total, wsum = jax.lax.fori_loop(0, n_periods, body, init)
+        v0_tile = jnp.full((TILE_ROWS, 128), 1.0, jnp.float32) * v0
+        w0_tile = jnp.zeros((TILE_ROWS, 128), jnp.float32)
+
+        if rng_mode == "reference":
+            # the reference GPU kernel's exact recipe per global path id:
+            # state0 = rand_pcg(id + 1), one xorshift per month
+            # (src/simulations.cu:140-150)
+            gid = tile * jnp.int32(TILE_PATHS) + (rr * 128 + ll)
+            n_i32 = iscal[3]
+
+            def body_ref(t, carry):
+                total, wsum, st = carry
+                st = _xorshift_i32(st)
+                gfac = table_lookup(_bootstrap_idx_exact_i32(st, n_i32))
+                total, wsum = apply_strategy(t, total, wsum, gfac)
+                return total, wsum, st
+
+            total, wsum, _ = jax.lax.fori_loop(
+                0, n_periods, body_ref,
+                (v0_tile, w0_tile, _pcg_hash_i32(gid + jnp.int32(1))),
+            )
+        else:
+            def body(t, carry):
+                total, wsum = carry
+                return apply_strategy(t, total, wsum, growth(t))
+
+            total, wsum = jax.lax.fori_loop(
+                0, n_periods, body, (v0_tile, w0_tile)
+            )
 
         finals_ref[:] = total
 
@@ -366,8 +420,10 @@ def _build_clt_call(n_periods: int, n_hist_total: int, ntiles: int,
 
 @lru_cache(maxsize=64)
 def _build_pallas_call(kind: str, strategy_kind: str, n_periods: int,
-                       n_table_chunks: int, ntiles: int, interpret: bool):
-    kernel = _build_kernel(kind, strategy_kind, n_periods, n_table_chunks)
+                       n_table_chunks: int, ntiles: int, interpret: bool,
+                       rng_mode: str = "counter"):
+    kernel = _build_kernel(kind, strategy_kind, n_periods, n_table_chunks,
+                           rng_mode)
     is_sobol = kind.startswith("sobol")
     is_hist = kind.endswith("historical")
     has_keep = strategy_kind in ("fixed_percent", "variable_percent")
@@ -533,7 +589,8 @@ def pallas_chunk_stats(model, strategy, root_key, scramble_key, v0,
     ])
 
     call = _build_pallas_call(
-        kind, strategy_kind, n_periods, n_table_chunks, ntiles, interpret
+        kind, strategy_kind, n_periods, n_table_chunks, ntiles, interpret,
+        getattr(model, "rng", "counter"),
     )
     finals2d, partials = call(iscal, fscal, *operands)
 

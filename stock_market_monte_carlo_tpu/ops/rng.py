@@ -177,3 +177,17 @@ def bootstrap_index_from_bits(bits_u32, n_table: int):
     u = uniform_from_bits(jnp.asarray(bits_u32, jnp.uint32))
     idx = (u * np.float32(n_table)).astype(jnp.int32)
     return jnp.minimum(idx, n_table - 1)
+
+
+def bootstrap_index_exact(bits_u32, n_table: int):
+    """Exact integer form of the u32 -> index map:
+    idx = floor(n * u32 / 2^32), computed as umulhi via a 16-bit split
+    (valid for n < 2^15, plenty for the ~1127-row table). The reference's
+    float path first rounds u32 to 24 bits (float conversion) — this form
+    avoids that rounding and is what the Pallas parity kernel uses."""
+    b = jnp.asarray(bits_u32, jnp.uint32)
+    h = b >> jnp.uint32(16)
+    lo = b & jnp.uint32(0xFFFF)
+    n = jnp.uint32(n_table)
+    return ((n * h + ((n * lo) >> jnp.uint32(16)))
+            >> jnp.uint32(16)).astype(jnp.int32)

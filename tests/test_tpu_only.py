@@ -89,6 +89,28 @@ def test_clt_keep_finals_and_masking():
     )
 
 
+def test_reference_rng_pallas_matches_xla_exactly(historical_table):
+    """rng='reference' draws an identical integer stream on the Pallas
+    kernel and the XLA engine: per-path finals must agree to float
+    reassociation."""
+    import jax.numpy as jnp
+
+    import stock_market_monte_carlo_tpu as smmc
+    from stock_market_monte_carlo_tpu.config import EngineOptions
+
+    m = smmc.HistoricalBootstrap(jnp.asarray(historical_table),
+                                 rng="reference")
+    n, t = 2**14, 24
+    fp = smmc.simulate_final_values(
+        m, n, t, seed=0, options=EngineOptions(chunk_paths=2**14)
+    )
+    fx = smmc.simulate_final_values(
+        m, n, t, seed=0,
+        options=EngineOptions(chunk_paths=2**14, backend="xla"),
+    )
+    np.testing.assert_allclose(fp, fx, rtol=1e-5)
+
+
 def test_pallas_chunk_invariance_tpu():
     import stock_market_monte_carlo_tpu as smmc
 
