@@ -214,6 +214,7 @@ def visualize(args):
         seed=args.seed,
         n_curves=args.curves,
         save=args.save,
+        overlay_normal=getattr(args, "overlay_normal", False),
     )
 
 

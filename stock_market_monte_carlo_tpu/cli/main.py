@@ -132,6 +132,10 @@ def main(argv=None):
                    help="write the fan/histogram chart to this PNG")
     p.add_argument("--curves", type=int, default=100,
                    help="trajectories to draw (ref draws <=100)")
+    p.add_argument("--overlay-normal", action="store_true",
+                   help="overlay the CLT normal fit on the histogram "
+                        "(ref: visualize_returns_distribution_gpu_"
+                        "reduceBlock, fixed)")
     p.set_defaults(fn=c.visualize)
 
     p = sub.add_parser(

@@ -42,12 +42,9 @@ from stock_market_monte_carlo_tpu.config import EngineOptions
 from stock_market_monte_carlo_tpu.engine.results import SimulationResult
 from stock_market_monte_carlo_tpu.models.market import (
     GaussianReturns,
-    HistoricalBootstrap,
     SobolGaussianReturns,
-    SobolHistoricalBootstrap,
 )
 from stock_market_monte_carlo_tpu.models.strategies import (
-    FixedAmountWithdrawal,
     FixedPercentWithdrawal,
     NoWithdrawal,
     VariablePercentWithdrawal,

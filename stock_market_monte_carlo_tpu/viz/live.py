@@ -28,7 +28,14 @@ def live_visualize(n_months: int, n_simulations: int,
                    model_kind: str = "historical", target: float = 1000.0,
                    seed: int = 0, n_curves: int = 100,
                    save: Optional[str] = None,
-                   show: bool = False):
+                   show: bool = False,
+                   overlay_normal: bool = False):
+    """``overlay_normal`` adds the CLT normal-pdf curve over the exact
+    final-value histogram — what the reference's
+    visualize_returns_distribution_gpu_reduceBlock GUI attempted from block
+    stats (its header admits "histogram/statistics aren't correct",
+    examples/...cpp:183-186); here both the histogram and the overlay are
+    exact on-device statistics."""
     import stock_market_monte_carlo_tpu as smmc
     from stock_market_monte_carlo_tpu.engine.progress import TerminalProgress
     from stock_market_monte_carlo_tpu.viz.plots import fan_chart
@@ -56,12 +63,21 @@ def live_visualize(n_months: int, n_simulations: int,
     k = max(1, len(counts) // 128)
     counts_d = counts[: len(counts) // k * k].reshape(-1, k).sum(axis=1)
     edges_d = edges[:: k][: len(counts_d) + 1]
+    normal_curve = None
+    if overlay_normal:
+        from stock_market_monte_carlo_tpu.ops.normal import normal_pdf
+
+        centers = 0.5 * (edges_d[:-1] + edges_d[1:])
+        widths = np.diff(edges_d)
+        pdf = np.asarray(normal_pdf(centers, res.mean, res.std))
+        normal_curve = (centers, pdf * res.n_paths * widths)
+
     save = save or "visualize_returns.png"
     fan_chart(
         np.asarray(res.trajectories), target=target,
         histogram=(edges_d, counts_d), save=save,
         title=(f"{model_kind} MC: {n_simulations} sims x {n_months} months "
                f"(drawing {res.trajectories.shape[0]})"),
-        show=show,
+        show=show, normal_curve=normal_curve,
     )
     return res

@@ -169,7 +169,8 @@ def _write_h5(dir, data):
 
 def fan_chart(trajectories: np.ndarray, target: Optional[float] = None,
               histogram=None, save: Optional[str] = None,
-              title: str = "Monte Carlo fund evolution", show: bool = False):
+              title: str = "Monte Carlo fund evolution", show: bool = False,
+              normal_curve=None):
     """Trajectory fan + optional final-value histogram — the static render
     of the reference GUI's main plot (visualize_returns_cpu.cpp:372-404)."""
     plt = _plt()
@@ -194,6 +195,11 @@ def fan_chart(trajectories: np.ndarray, target: Optional[float] = None,
         edges, counts = histogram
         centers = 0.5 * (edges[:-1] + edges[1:])
         axh.barh(centers, counts, height=np.diff(edges))
+        if normal_curve is not None:
+            xs, ys = normal_curve
+            axh.plot(ys, xs, color="k", linewidth=1.5,
+                     label="normal (CLT) fit")
+            axh.legend(fontsize=8)
         axh.set_xlabel("paths")
         axh.set_title("final values")
     plt.tight_layout()
