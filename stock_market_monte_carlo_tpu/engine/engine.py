@@ -585,6 +585,14 @@ def simulate_paths(
     caps drawn trajectories, examples/visualize_returns_cpu_v2.cpp:176-202);
     memory is O(n_paths * n_periods).
     """
+    est_bytes = 4 * (n_paths + KEY_TILE) * (n_periods + 1) * 3
+    if est_bytes > 8 << 30:
+        raise ValueError(
+            f"simulate_paths would materialize ~{est_bytes / 2**30:.0f} GiB "
+            f"of trajectories ({n_paths} paths x {n_periods + 1} months); "
+            "use simulate_stats/simulate_final_values for statistics at "
+            "scale, or cap the trajectory count (run(keep_trajectories=N))."
+        )
     b = _round_up(n_paths, KEY_TILE)
     root_key = jax.random.key(seed)
     scramble_key = jax.random.fold_in(root_key, 0x50B0)
