@@ -54,6 +54,34 @@ class SimulationResult:
             return None
         return self.moments.count_below / self.n_paths
 
+    def prob_below_amount(self, amount: float) -> float:
+        """P(final value < amount), re-queryable for any threshold — the
+        GUI target-amount slider (examples/visualize_returns_cpu.cpp:
+        344-356) without a re-run: exact from kept finals, else
+        interpolated from the on-device histogram (error bounded by one
+        log-space bin, ~3e-3 relative at the default 4094 bins)."""
+        if self.final_values is not None:
+            return float((self.final_values < amount).mean())
+        if self.histogram_counts is None:
+            raise ValueError("no histogram or finals available")
+        spec = self.histogram_spec
+        counts = np.asarray(self.histogram_counts, np.float64)
+        total = counts.sum()
+        if amount <= 0 or total == 0:
+            return 0.0
+        loga = np.log(amount)
+        if loga <= spec.log_lo:
+            # the underflow bin holds everything below lo (incl. depleted
+            # funds); thresholds inside it attribute the whole bin
+            return float(counts[0] / total)
+        pos = (loga - spec.log_lo) / spec.width
+        b = int(np.floor(pos))
+        if b >= spec.n_bins:
+            return float(counts[: spec.n_bins + 1].sum() / total)
+        frac = pos - b
+        below = counts[0] + counts[1:1 + b].sum() + frac * counts[1 + b]
+        return float(below / total)
+
     def quantiles(self, qs=DEFAULT_QUANTILES) -> Dict[float, float]:
         """Quantiles — exact from final values when kept, else interpolated
         from the on-device histogram."""
