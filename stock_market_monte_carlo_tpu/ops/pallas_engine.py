@@ -221,7 +221,7 @@ def _build_kernel(kind: str, strategy_kind: str, n_periods: int,
         # current month's arithmetic (~15% measured on the CLT kernel).
         # Months beyond the horizon are masked out of both value and
         # withdrawal state.
-        UNROLL = 4
+        UNROLL = 8
         n_iters = -(-n_periods // UNROLL)
 
         def guarded_step(t, total, wsum, gfac):
