@@ -24,10 +24,11 @@ class EngineOptions:
     """Execution knobs; all have TPU-sensible defaults.
 
     Tile sizes are fixed by the kernels (8192 paths per exact-sampler tile,
-    2048 per CLT tile — the moral equivalents of the reference's
-    THREADS_PER_BLOCK=256, src/simulations.cu:17) and double as the RNG
-    granularity: a tile's stream depends only on its *global* index, so
-    results are invariant to chunking and sharding.
+    4096 per CLT tile — ops/pallas_engine.py TILE_PATHS/CLT_P, the moral
+    equivalents of the reference's THREADS_PER_BLOCK=256,
+    src/simulations.cu:17) and double as the RNG granularity: a tile's
+    stream depends only on its *global* index, so results are invariant to
+    chunking and sharding.
     """
 
     # 'auto' picks pallas on TPU, xla elsewhere.
@@ -44,10 +45,11 @@ class EngineOptions:
     keep_final_values: bool = False
     # Gaussian sampling algorithm on the Pallas backend:
     #  - "icdf": inverse-CDF per draw (polynomial erfinv; default)
-    #  - "clt":  MXU orthogonal-mix sampler — 64 uniforms mixed through a
-    #    random orthogonal matrix per month block. Exact mean/variance/skew;
-    #    per-month excess kurtosis -1.2/64 (washes out over the horizon's
-    #    convolution). ~2x faster; multiplicative strategies only.
+    #  - "clt":  MXU orthogonal-mix sampler — 128 uniforms mixed through a
+    #    random orthogonal matrix per 128-month block (CLT_K=128). Exact
+    #    mean/variance/skew; per-month excess kurtosis -1.2/128 (washes out
+    #    over the horizon's convolution). ~1.4x faster; Gaussian +
+    #    no-withdrawal only (other combinations fall back to "icdf").
     gaussian_sampler: str = "icdf"
 
     def __post_init__(self):

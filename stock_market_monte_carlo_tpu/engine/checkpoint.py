@@ -14,7 +14,11 @@ don't depend on who computed chunks 0..k-1.
 
 Format: a single .npz (atomic rename on write). The fingerprint covers every
 input that affects the stream (model kind+params hash, strategy, seed,
-n_paths, n_periods, capital, histogram spec); mismatches refuse to resume.
+n_paths, n_periods, capital, histogram spec, backend + effective Gaussian
+sampler); mismatches refuse to resume. It deliberately does NOT cover chunk
+size or device count — chunk/sharding invariance of the counter-based RNG
+means a run checkpointed on an 8-device mesh resumes on 1 device (or any
+other topology) with identical statistics.
 """
 
 from __future__ import annotations

@@ -90,18 +90,23 @@ def make_histogram_spec(model, strategy, n_periods: int,
                         n_bins: int) -> red.HistogramSpec:
     mu, sigma = log_growth_moments(model)
     if isinstance(strategy, FixedPercentWithdrawal):
-        mu += float(np.log(1.0 - float(np.asarray(strategy.percent)) / 100.0))
+        # clamp so percent == 100 (keep == 0, all finals exactly 0) still
+        # yields a valid log-spaced spec; the zeros land in the underflow bin
+        keep = max(1.0 - float(np.asarray(strategy.percent)) / 100.0, 1e-6)
+        mu += float(np.log(keep))
     spec = red.default_histogram_spec(
         initial_capital, n_periods, mu, sigma, n_bins
     )
     if not isinstance(strategy, NoWithdrawal):
         # Withdrawals can drive funds toward zero; widen the low end. The
-        # underflow bin still catches fully depleted paths exactly.
-        spec = red.HistogramSpec(
-            lo=min(spec.lo, initial_capital * 1e-6 + 1e-30),
-            hi=spec.hi,
-            n_bins=n_bins,
-        )
+        # underflow bin still catches fully depleted paths exactly. Floor
+        # lo into float32-representable range: a sub-float32 lo casts to
+        # 0.0f in bin_index, so the v < lo underflow test would miss exact
+        # zeros and misfile them in the overflow bin (extreme keep
+        # fractions push the analytic center below 1e-38).
+        lo = max(min(spec.lo, initial_capital * 1e-6 + 1e-30), 1e-30)
+        hi = max(spec.hi, lo * 1e6)
+        spec = red.HistogramSpec(lo=lo, hi=hi, n_bins=n_bins)
     return spec
 
 
@@ -163,11 +168,16 @@ def compound_final(growth, v0, strategy):
         if isinstance(strategy, NoWithdrawal):
             withdrawn = jnp.zeros((b,), jnp.float32)
         else:
-            # Withdrawn in period t is grown_t * (1-keep_t); grown_t follows
-            # from the running product without a serial dependence.
-            run = v0 * jnp.cumprod(gk, axis=1)
+            # Withdrawn in period t is grown_t * (1-keep_t) where grown_t is
+            # the value after growth but before the withdrawal:
+            # grown_t = v0 * prod_{s<t}(gk_s) * g_t — the cumprod shifted one
+            # period. No division, so keep == 0 (100% withdrawal) is exact.
+            run = jnp.cumprod(gk, axis=1)
+            prev = jnp.concatenate(
+                [jnp.ones((b, 1), jnp.float32), run[:, :-1]], axis=1
+            )
             keep = _keep_factors(strategy, t)[None, :]
-            grown = run / jnp.maximum(keep, 1e-30)
+            grown = v0 * prev * growth
             withdrawn = jnp.sum(grown * (1.0 - keep), axis=1)
         return finals, withdrawn
 
@@ -259,9 +269,16 @@ _CHUNK_FN_CACHE = {}
 def _get_chunk_fn(model_kind, strategy_kind, n_periods, chunk_b, spec,
                   keep_finals, mesh: Optional[Mesh], backend: str,
                   sampler: str = "icdf"):
+    # Key the mesh by contents (axis names + device ids), not identity:
+    # id() of a garbage-collected Mesh can be reused by CPython, which
+    # would hand back a compiled fn bound to a dead mesh.
+    mesh_key = (
+        None if mesh is None
+        else (mesh.axis_names, tuple(d.id for d in mesh.devices.flat))
+    )
     cache_key = (
         model_kind, strategy_kind, n_periods, chunk_b, spec, keep_finals,
-        id(mesh) if mesh is not None else None, backend, sampler,
+        mesh_key, backend, sampler,
     )
     fn = _CHUNK_FN_CACHE.get(cache_key)
     if fn is not None:
@@ -334,6 +351,37 @@ def resolve_backend(options: EngineOptions) -> str:
     return "pallas" if jax.default_backend() == "tpu" else "xla"
 
 
+def _effective_sampler(model, strategy, backend: str,
+                       options: EngineOptions) -> str:
+    """The Gaussian sampler that actually runs: 'clt' only applies on the
+    Pallas backend to Gaussian models (pallas_engine.pallas_chunk_stats
+    falls back to the exact kernel otherwise)."""
+    if (options.gaussian_sampler == "clt" and backend == "pallas"
+            and model.kind == "gaussian" and strategy.kind == "none"):
+        return "clt"
+    return "icdf"
+
+
+def _validate_n_paths(model, n_paths: int, per_dispatch: int) -> None:
+    """Hard limits of the RNG index spaces — oversized runs must error, not
+    silently wrap (global path offsets are uint32; the Sobol sequence index
+    is 32-bit: ops/sobol.py)."""
+    if n_paths <= 0:
+        raise ValueError(f"n_paths must be positive, got {n_paths}")
+    if n_paths > (1 << 32) - per_dispatch:
+        raise ValueError(
+            f"n_paths={n_paths} exceeds the uint32 global-path-offset space "
+            f"(limit {(1 << 32) - per_dispatch} at this chunk size); split "
+            "the run over multiple seeds instead"
+        )
+    if getattr(model, "is_quasi", False) and n_paths > (1 << 31):
+        raise ValueError(
+            f"n_paths={n_paths} exceeds the 2^31 Sobol sequence-index "
+            "space; use a pseudo-random model past 2^31 paths or split "
+            "the run over multiple scramble seeds"
+        )
+
+
 def _xla_chunk_paths(n_periods: int, options: EngineOptions) -> int:
     """Bound the materialized (B, T) growth buffer to ~1 GiB on the XLA
     path; the Pallas path never materializes it and uses chunk_paths."""
@@ -389,6 +437,7 @@ def simulate_stats(
 
     n_dev = 1 if mesh is None else mesh.size
     per_dispatch = chunk_b * n_dev
+    _validate_n_paths(model, n_paths, per_dispatch)
 
     root_key = jax.random.key(seed)
     scramble_key = jax.random.fold_in(root_key, 0x50B0)
@@ -414,9 +463,15 @@ def simulate_stats(
                 "checkpoint_path is not supported with keep_final_values "
                 "(per-path buffers are not checkpointed)"
             )
+        # The stream id covers exactly what changes the sampled bit stream:
+        # backend (pallas hw-PRNG vs XLA threefry) and the effective Gaussian
+        # sampler. Chunk size and device count are deliberately NOT included
+        # — counter-based RNG makes results chunk- and shard-invariant, so a
+        # run checkpointed on an 8-device mesh resumes on 1 (and vice versa).
         fingerprint = ckpt.config_fingerprint(
             model, strategy, n_paths, n_periods, initial_capital, seed,
-            target_amount, spec, f"{backend}/{chunk_b}/{n_dev}",
+            target_amount, spec, f"{backend}/{_effective_sampler(
+                model, strategy, backend, options)}",
         )
         state = ckpt.load(checkpoint_path, fingerprint)
         if state is not None:

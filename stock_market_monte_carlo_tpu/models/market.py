@@ -82,8 +82,13 @@ class HistoricalBootstrap:
       - "reference": the reference GPU kernel's exact per-path recipe —
         state0 = rand_pcg(path_id + 1), then one xorshift step per month
         (src/simulations.cu:140-150) — as a cross-implementation parity
-        mode. Path p draws the same sequence on the Pallas kernel, the XLA
-        engine, and the jnp ports in ops/rng.py.
+        mode. Path p draws the same *bit stream* on the Pallas kernel, the
+        XLA engine, and the jnp ports in ops/rng.py, bit-identical to the
+        CUDA kernel. The u32 -> table-row map uses the exact integer form
+        floor(n * u32 / 2^32); the CUDA kernel computes the same map in
+        float32 (src/simulations.cu:148), whose 24-bit rounding selects a
+        neighboring row for ~1e-4 of draws — so row indices/finals are
+        parity-equivalent in distribution, not bit-for-bit vs CUDA.
     """
 
     returns_pct: jax.Array

@@ -26,6 +26,23 @@ from typing import Union
 
 import jax
 import jax.numpy as jnp
+import numpy as np
+
+
+def _validate_percent(p, what: str) -> None:
+    """Reject percent outside [0, 100] when the value is concrete.
+
+    percent > 100 would make the multiplicative keep factor negative (the
+    fund would go short); percent == 100 is allowed and depletes exactly.
+    Traced values (this runs again on pytree unflatten during jit) are
+    skipped — validation happens at user construction time.
+    """
+    try:
+        vals = np.asarray(p, dtype=np.float64)
+    except Exception:
+        return  # traced leaf — already validated at construction
+    if vals.size and (np.any(vals < 0.0) or np.any(vals > 100.0)):
+        raise ValueError(f"{what} must be within [0, 100], got {p}")
 
 
 @partial(jax.tree_util.register_dataclass, data_fields=[], meta_fields=[])
@@ -77,6 +94,9 @@ class FixedPercentWithdrawal:
 
     kind = "fixed_percent"
 
+    def __post_init__(self):
+        _validate_percent(self.percent, "FixedPercentWithdrawal.percent")
+
     def affine_step(self, t, growth):
         del t
         keep = 1.0 - jnp.asarray(self.percent, jnp.float32) / 100.0
@@ -99,6 +119,11 @@ class VariablePercentWithdrawal:
     percent_schedule: jax.Array
 
     kind = "variable_percent"
+
+    def __post_init__(self):
+        _validate_percent(
+            self.percent_schedule, "VariablePercentWithdrawal schedule"
+        )
 
     def affine_step(self, t, growth):
         sched = jnp.asarray(self.percent_schedule, jnp.float32)

@@ -172,8 +172,11 @@ def xorshift_stream(seed_per_lane, n_steps: int):
 
 
 def bootstrap_index_from_bits(bits_u32, n_table: int):
-    """The reference's u32 -> table-index mapping
-    (src/simulations.cu:148: ``idx = n * (u32 * 2^-32)``)."""
+    """The reference's u32 -> table-index mapping in its exact float32
+    arithmetic (src/simulations.cu:148: ``idx = n * (u32 * 2.3283064e-10f)``
+    — the truncated literal rounds to exactly 2^-32 in float32, and the
+    u32 -> f32 conversion rounds to 24 bits, so this differs from the exact
+    integer map ``bootstrap_index_exact`` for ~1e-4 of draws)."""
     u = uniform_from_bits(jnp.asarray(bits_u32, jnp.uint32))
     idx = (u * np.float32(n_table)).astype(jnp.int32)
     return jnp.minimum(idx, n_table - 1)

@@ -98,3 +98,60 @@ def test_checkpoint_state_roundtrip(tmp_path):
     np.testing.assert_array_equal(back.stats, st.stats)
     np.testing.assert_array_equal(back.hist, st.hist)
     assert ckpt.load(str(tmp_path / "missing.npz"), "x") is None
+
+
+def test_checkpoint_cross_topology_resume(tmp_path, mesh8):
+    """Checkpoint on an 8-device mesh, resume single-device with a different
+    chunk size: the fingerprint is topology-free (counter-based RNG makes
+    chunks/shards independent of execution history) and results match."""
+    n, t = 4 * 8 * KEY_TILE, 12
+    path = str(tmp_path / "run.ckpt.npz")
+
+    class Stop(Exception):
+        pass
+
+    calls = []
+
+    def interrupt(done, total):
+        calls.append(done)
+        if len(calls) == 2:
+            raise Stop()
+
+    with pytest.raises(Stop):
+        smmc.simulate_stats(
+            GAUSS, n, t, seed=3, options=OPTS, mesh=mesh8,
+            checkpoint_path=path, progress=interrupt, target_amount=1500.0,
+        )
+    resumed = smmc.simulate_stats(
+        GAUSS, n, t, seed=3,
+        options=EngineOptions(chunk_paths=2 * KEY_TILE),
+        checkpoint_path=path, target_amount=1500.0,
+    )
+    fresh = smmc.simulate_stats(
+        GAUSS, n, t, seed=3, options=OPTS, target_amount=1500.0,
+    )
+    assert resumed.moments.n == n
+    # float32 partial sums reassociate across the different chunk split;
+    # per-path finals (hence histogram and count) are bit-identical
+    np.testing.assert_allclose(resumed.mean, fresh.mean, rtol=1e-6)
+    np.testing.assert_allclose(resumed.std, fresh.std, rtol=1e-5)
+    assert resumed.count_below == fresh.count_below
+    np.testing.assert_array_equal(
+        resumed.histogram_counts, fresh.histogram_counts
+    )
+
+
+def test_sampler_fingerprint_uses_effective_sampler(tmp_path):
+    """On the XLA backend 'clt' falls back to the exact sampler, so the
+    fingerprint must not distinguish the two options there."""
+    n, t = 2 * KEY_TILE, 6
+    path = str(tmp_path / "run.ckpt.npz")
+    smmc.simulate_stats(
+        GAUSS, n, t, seed=1,
+        options=EngineOptions(chunk_paths=KEY_TILE, gaussian_sampler="clt"),
+        checkpoint_path=path,
+    )
+    res = smmc.simulate_stats(
+        GAUSS, n, t, seed=1, options=OPTS, checkpoint_path=path,
+    )
+    assert res.moments.n == n

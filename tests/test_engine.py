@@ -211,3 +211,67 @@ def test_withdrawal_cannot_go_negative():
     )
     assert res.moments.min == pytest.approx(0.0)
     assert res.moments.mean == pytest.approx(0.0)
+
+
+def test_full_withdrawal_percent_100_exact():
+    """keep == 0 (100% withdrawal): finals are exactly 0 and the whole
+    month-1 grown value is reported as withdrawn (no 1/keep division)."""
+    t = 3
+    key = jax.random.key(2)
+    scr = jax.random.fold_in(key, 0x50B0)
+    growth = eng.sample_growth(GAUSS, key, scr, jnp.uint32(0),
+                               (eng.KEY_TILE, t))
+    finals, withdrawn = eng.compound_final(
+        growth, 1000.0, FixedPercentWithdrawal(100.0)
+    )
+    np.testing.assert_array_equal(np.asarray(finals), 0.0)
+    np.testing.assert_allclose(
+        np.asarray(withdrawn), 1000.0 * np.asarray(growth)[:, 0], rtol=1e-6
+    )
+
+
+def test_percent_withdrawn_matches_serial_reference():
+    """The closed-form withdrawn total must equal a serial per-month loop."""
+    rng = np.random.default_rng(0)
+    g = rng.normal(1.005, 0.03, (64, 12)).astype(np.float32)
+    finals, wd = eng.compound_final(
+        jnp.asarray(g), 1000.0, FixedPercentWithdrawal(3.0)
+    )
+    v = np.full(64, 1000.0)
+    wsum = np.zeros(64)
+    for tt in range(12):
+        grown = v * g[:, tt]
+        w = grown * 0.03
+        v = grown - w
+        wsum += w
+    np.testing.assert_allclose(np.asarray(finals), v, rtol=1e-5)
+    np.testing.assert_allclose(np.asarray(wd), wsum, rtol=1e-5)
+
+
+def test_percent_out_of_range_rejected():
+    with pytest.raises(ValueError, match=r"\[0, 100\]"):
+        FixedPercentWithdrawal(120.0)
+    with pytest.raises(ValueError, match=r"\[0, 100\]"):
+        FixedPercentWithdrawal(-1.0)
+    with pytest.raises(ValueError, match=r"\[0, 100\]"):
+        VariablePercentWithdrawal(jnp.asarray([1.0, 101.0]))
+    FixedPercentWithdrawal(100.0)  # boundary is allowed
+
+
+def test_oversized_n_paths_rejected():
+    with pytest.raises(ValueError, match="uint32"):
+        smmc.simulate_stats(GAUSS, 2**32, 1)
+    sob = smmc.SobolGaussianReturns.create(4)
+    with pytest.raises(ValueError, match="Sobol"):
+        smmc.simulate_stats(sob, 2**31 + 8192, 4)
+
+
+def test_full_withdrawal_histogram_underflow_bin():
+    """percent=100: all finals are exactly 0 and must land in the underflow
+    bin (regression: a sub-float32 spec.lo cast to 0.0f and misfiled the
+    zeros into the overflow bin)."""
+    res = smmc.simulate_stats(
+        GAUSS, 20_000, 24, strategy=FixedPercentWithdrawal(100.0)
+    )
+    assert res.histogram_counts[0] == 20_000
+    assert res.histogram_counts.sum() == 20_000
