@@ -215,6 +215,8 @@ def visualize(args):
         n_curves=args.curves,
         save=args.save,
         overlay_normal=getattr(args, "overlay_normal", False),
+        live=getattr(args, "live", True),
+        interactive=(True if getattr(args, "interactive", False) else None),
     )
 
 

@@ -136,6 +136,15 @@ def main(argv=None):
                    help="overlay the CLT normal fit on the histogram "
                         "(ref: visualize_returns_distribution_gpu_"
                         "reduceBlock, fixed)")
+    p.add_argument("--live", action="store_true", default=True,
+                   help="redraw exact partial stats + histogram while the "
+                        "run streams (default; ref render loop: "
+                        "visualize_returns_cpu.cpp:296-434)")
+    p.add_argument("--no-live", dest="live", action="store_false")
+    p.add_argument("--interactive", action="store_true",
+                   help="after the run, re-query P(final < amount) for "
+                        "typed targets (ref slider recompute: "
+                        "visualize_returns_cpu.cpp:340-356)")
     p.set_defaults(fn=c.visualize)
 
     p = sub.add_parser(

@@ -29,9 +29,10 @@ the same seed gives the same statistics on 1 chip or 256.
 
 from __future__ import annotations
 
+import dataclasses
 import time
 from functools import partial
-from typing import Optional, Tuple
+from typing import Callable, Optional, Tuple
 
 import jax
 import jax.numpy as jnp
@@ -400,6 +401,55 @@ def _round_up(x: int, m: int) -> int:
 # ---------------------------------------------------------------------------
 
 
+@dataclasses.dataclass
+class StreamUpdate:
+    """Partial statistics mid-run, pushed after every absorbed chunk.
+
+    The live analog of the reference GUIs reading shared stats buffers while
+    the simulation thread fills them (examples/visualize_returns_cpu.cpp:
+    296-434): here the chunked dispatch loop IS the stream, and each update
+    carries exact accumulated moments + histogram over the paths done so
+    far (not a sample) — any target/quantile can be recomputed per frame.
+    """
+
+    done: int
+    n_paths: int
+    stats: np.ndarray              # packed power sums, float64
+    hist: np.ndarray               # histogram counts incl. under/overflow
+    spec: red.HistogramSpec
+    target_amount: Optional[float]
+    elapsed_s: float
+
+    @property
+    def moments(self) -> red.MomentSummary:
+        return red.MomentSummary.from_packed(
+            self.stats, self.target_amount is not None
+        )
+
+    def quantiles(self, qs) -> np.ndarray:
+        return red.quantiles_from_histogram(self.spec, self.hist, qs)
+
+    def prob_below(self, amount: float) -> float:
+        """P(final < amount) over the paths done so far, from the exact
+        histogram — the recompute-on-slider-change query
+        (visualize_returns_cpu.cpp:340-356)."""
+        if self.done == 0:
+            return 0.0
+        edges = self.spec.edges()
+        counts = self.hist
+        below = counts[0]
+        interior = counts[1:-1]
+        full = edges[1:] <= amount
+        below += interior[full].sum()
+        b = int(np.searchsorted(edges, amount) - 1)
+        if 0 <= b < len(interior) and not (b < len(full) and full[b]):
+            lo, hi = edges[b], edges[b + 1]
+            frac = (np.log(max(amount, 1e-300)) - np.log(lo)) / (
+                np.log(hi) - np.log(lo))
+            below += interior[b] * min(max(frac, 0.0), 1.0)
+        return float(below) / self.done
+
+
 def simulate_stats(
     model,
     n_paths: int,
@@ -413,8 +463,15 @@ def simulate_stats(
     progress=None,
     keep_final_values: Optional[bool] = None,
     checkpoint_path: Optional[str] = None,
+    stream: Optional[Callable[[StreamUpdate], None]] = None,
 ) -> SimulationResult:
     """Fused simulate+reduce: O(1) host traffic regardless of n_paths.
+
+    ``stream`` receives a :class:`StreamUpdate` after every absorbed chunk
+    — exact partial moments + histogram over the paths done so far — which
+    is what live visualization surfaces consume (the reference GUIs poll
+    shared buffers mid-run instead, examples/visualize_returns_cpu.cpp:
+    296-434).
 
     With ``checkpoint_path``, accumulated statistics are persisted after
     every absorbed chunk and an interrupted run resumes from the next chunk
@@ -468,9 +525,13 @@ def simulate_stats(
         # sampler. Chunk size and device count are deliberately NOT included
         # — counter-based RNG makes results chunk- and shard-invariant, so a
         # run checkpointed on an 8-device mesh resumes on 1 (and vice versa).
+        # streams2: kernel bit-stream generation tag — bumped when a
+        # sampler's stream recipe changes (e.g. the sliced-rotation
+        # bootstrap replacing the chunk-scan draw), so stale checkpoints
+        # refuse to resume into a different stream.
         fingerprint = ckpt.config_fingerprint(
             model, strategy, n_paths, n_periods, initial_capital, seed,
-            target_amount, spec, f"{backend}/{_effective_sampler(
+            target_amount, spec, f"{backend}/streams2/{_effective_sampler(
                 model, strategy, backend, options)}",
         )
         state = ckpt.load(checkpoint_path, fingerprint)
@@ -535,6 +596,13 @@ def simulate_stats(
             )
             if progress is not None:
                 progress(done, n_paths)
+            if stream is not None:
+                stream(StreamUpdate(
+                    done=done, n_paths=n_paths, stats=total_stats,
+                    hist=total_hist, spec=spec,
+                    target_amount=target_amount,
+                    elapsed_s=time.perf_counter() - t_start,
+                ))
         pending = (out, done + this_valid_total, this_valid_total,
                    offset + b * n_dev)
 
@@ -551,6 +619,12 @@ def simulate_stats(
         )
     if progress is not None:
         progress(done, n_paths)
+    if stream is not None:
+        stream(StreamUpdate(
+            done=done, n_paths=n_paths, stats=total_stats,
+            hist=total_hist, spec=spec, target_amount=target_amount,
+            elapsed_s=time.perf_counter() - t_start,
+        ))
 
     finals = None
     if keep_finals:
@@ -682,6 +756,7 @@ def run(
     mesh: Optional[Mesh] = None,
     progress=None,
     keep_trajectories: int = 0,
+    stream: Optional[Callable[[StreamUpdate], None]] = None,
 ) -> SimulationResult:
     """One-call experiment: fused stats plus (optionally) a capped set of
     trajectories for fan plots — the v2-stats + v1-viz two-thread pattern of
@@ -689,7 +764,7 @@ def run(
     single dispatch pipeline."""
     result = simulate_stats(
         model, n_paths, n_periods, initial_capital, seed, strategy,
-        target_amount, options, mesh, progress,
+        target_amount, options, mesh, progress, stream=stream,
     )
     if keep_trajectories > 0:
         k = min(keep_trajectories, n_paths)

@@ -110,7 +110,8 @@ def _xorshift_i32(y):
 def _bootstrap_idx_exact_i32(st, n_i32):
     """idx = floor(n * u32 / 2^32) via 16-bit split (exact for n < 2^15);
     integer form of the reference's float mapping (src/simulations.cu:148).
-    Matches ops/rng.bootstrap_index_exact bit for bit."""
+    Matches ops/rng.bootstrap_index_exact bit for bit. ``n_i32`` may be a
+    scalar or a per-lane vector (values < 2^15)."""
     h = jax.lax.shift_right_logical(st, jnp.int32(16))
     lo = st & jnp.int32(0xFFFF)
     return jax.lax.shift_right_logical(
@@ -124,7 +125,7 @@ def _build_kernel(kind: str, strategy_kind: str, n_periods: int,
     """Kernel specialized on (model kind, strategy kind, horizon).
 
     Ref layout (inputs then outputs):
-      iscal (SMEM i32 (8,)): seed_base, tile0, valid, n_table
+      iscal (SMEM i32 (8,)): seed_base, tile0, valid, n_table, tail_n
       fscal (SMEM f32 (8,)): v0, a, b, amount, target
       [table (C,128) f32 VMEM]                    historical kinds
       [dir (T,32) i32 SMEM, shift (T,1) i32 SMEM] sobol kinds
@@ -181,24 +182,78 @@ def _build_kernel(kind: str, strategy_kind: str, n_periods: int,
             acc = acc ^ shift_ref[t, 0]
             return _u23_from_bits(acc)
 
+        if is_hist:
+            # chunk rows broadcast once, loop-invariant (VMEM-resident)
+            rows = [
+                jnp.broadcast_to(
+                    table_ref[c, :][None, :], (TILE_ROWS, 128)
+                )
+                for c in range(n_table_chunks)
+            ]
+
         def table_lookup(idx):
             within = idx & 127
             chunk = jax.lax.shift_right_logical(idx, 7)
             val = jnp.zeros((TILE_ROWS, 128), jnp.float32)
             for c in range(n_table_chunks):
-                tc = jnp.broadcast_to(
-                    table_ref[c, :][None, :], (TILE_ROWS, 128)
-                )
-                g = jnp.take_along_axis(tc, within, axis=1)
+                g = jnp.take_along_axis(rows[c], within, axis=1)
                 val = jnp.where(chunk == c, g, val)
             return val
 
-        def growth(t):
-            u = uniforms(t)
-            if is_hist:
-                return table_lookup((u * n_table_f).astype(jnp.int32))
-            z = jnp.float32(_SQRT2) * _erfinv_poly(2.0 * u - 1.0)
-            return a + b * z
+        if is_hist and not is_sobol and rng_mode == "counter":
+            # "Sliced rotation" bootstrap — ONE within-row gather per
+            # path-month instead of ceil(n_table/128): each lane plays two
+            # independent roles from one PRNG word W.
+            #
+            #   Source role (lane s): chunk c'_s uniform over the n_s valid
+            #   chunks of column s (n_s = K for s < tail_n else K-1), drawn
+            #   from the wrap-around residual r = W*n (independent of
+            #   floor(n*W/2^32) to ~n/2^32); combined[s] = G[c'_s, s] by a
+            #   chain of K chunk-row selects (no gathers; padding is never
+            #   selected because c'_s < n_s).
+            #
+            #   Dest role (lane l): idx = floor(n*W/2^32). With probability
+            #   tail_n/n (flag: idx < tail_n) gather column w = idx
+            #   (uniform over the tall columns); otherwise gather at a
+            #   per-row random rotation w = (l + b_r) & 127.
+            #
+            # Exactness (any n): P(w=j) = 1/n + (n-tail_n)/(128n) = K/n for
+            # j < tail_n, (K-1)/n otherwise; times P(c'_j = c) = 1/n_j
+            # gives P(entry) = 1/n uniformly. Rotation makes row-mates
+            # collision-free, so the cross-path joint is slightly SUB-iid
+            # (pair collision ~7.9e-4 vs iid 8.9e-4 at n=1127) — estimator
+            # variance is never inflated. The reference kernel's recipe
+            # costs the full chunk scan and is kept in rng='reference'
+            # parity mode (src/simulations.cu:144-150).
+            n_i32 = iscal[3]
+            tail_n = iscal[4]
+            k_chunks = n_table_chunks
+            n_valid = jnp.where(
+                ll < tail_n, jnp.int32(k_chunks), jnp.int32(k_chunks - 1)
+            )
+
+            def growth(t):
+                del t
+                w_bits = pltpu.prng_random_bits((TILE_ROWS, 128))
+                # source: combined[s] = G[c'_s, s]
+                r_res = w_bits * n_i32           # wrap mul == low 32 bits
+                cprime = _bootstrap_idx_exact_i32(r_res, n_valid)
+                comb = rows[0]
+                for c in range(1, k_chunks):
+                    comb = jnp.where(cprime == c, rows[c], comb)
+                # dest: column choice
+                idx_dest = _bootstrap_idx_exact_i32(w_bits, n_i32)
+                b_row = w_bits[:, 0:1] & jnp.int32(127)
+                w_rot = (ll + b_row) & jnp.int32(127)
+                w_col = jnp.where(idx_dest < tail_n, idx_dest, w_rot)
+                return jnp.take_along_axis(comb, w_col, axis=1)
+        else:
+            def growth(t):
+                u = uniforms(t)
+                if is_hist:
+                    return table_lookup((u * n_table_f).astype(jnp.int32))
+                z = jnp.float32(_SQRT2) * _erfinv_poly(2.0 * u - 1.0)
+                return a + b * z
 
         def apply_strategy(t, total, wsum, gfac):
             grown = total * gfac
@@ -631,10 +686,12 @@ def pallas_chunk_stats(model, strategy, root_key, scramble_key, v0,
         keep = _keep_factors(strategy, n_periods).reshape(-1, 1)
         operands.append(keep)
 
+    tail_n = n_table - 128 * (n_table_chunks - 1) if n_table else 0
     iscal = jnp.stack([
         seed_base, tile0, jnp.asarray(valid, jnp.int32),
         jnp.asarray(n_table, jnp.int32),
-        jnp.int32(0), jnp.int32(0), jnp.int32(0), jnp.int32(0),
+        jnp.asarray(tail_n, jnp.int32),
+        jnp.int32(0), jnp.int32(0), jnp.int32(0),
     ])
     fscal = jnp.stack([
         jnp.asarray(v0, jnp.float32), a, b, amount,

@@ -1,27 +1,153 @@
 """Live visualization — the GUI-replacement surface.
 
 The reference couples a simulation thread to a DearImGui/ImPlot render loop
-polling an atomic counter (examples/visualize_returns_cpu.cpp:136-457, and
-the two-thread stats+viz variant in visualize_returns_cpu_v2.cpp:184-202).
-Here the equivalent is:
+polling an atomic counter and redrawing trajectories/quartiles/count-below
+*while the simulation runs*, recomputing on target-slider change
+(examples/visualize_returns_cpu.cpp:296-434, 340-356; two-thread variant
+visualize_returns_cpu_v2.cpp:184-202). Here the equivalents are:
 
-- the big statistics run streams device chunks with a live terminal
-  progress line (count, rate, ETA — the GUI's progress/FPS text block);
+- :class:`LiveDashboard` — an ANSI terminal panel redrawn from every
+  :class:`~stock_market_monte_carlo_tpu.engine.engine.StreamUpdate` the
+  engine pushes after each absorbed device chunk: progress/rate/ETA (the
+  GUI's counter+FPS text), exact accumulated mean/std/min/max, histogram
+  quantiles, P(below target), and a unicode final-value histogram that
+  fills in as paths accumulate. Because every frame carries the exact
+  on-device histogram, the stats are *true partial statistics*, not a
+  sample — something the reference GUI only approximates from block means
+  (visualize_returns_distribution_gpu_reduceBlock.cpp:183-186 admits its
+  histogram "isn't correct").
+- :func:`query_loop` — the target slider without the window: type any
+  amount after the run and P(final < amount) / quantiles are recomputed
+  instantly from the retained histogram.
 - a capped trajectory run (the reference's max_n_visualisation trick)
-  renders a fan chart with target line and final-value histogram to PNG;
-- the stats block prints quartiles/mean/std/count-below exactly like the
-  GUI's text panel (visualize_returns_cpu.cpp:395-420).
-
-Because count-below and quantiles come from the on-device histogram, any
-target amount can be re-queried instantly after the run — the slider
-without the window.
+  renders a fan chart with target line and final-value histogram to PNG.
 """
 
 from __future__ import annotations
 
+import sys
 from typing import Optional
 
 import numpy as np
+
+_BLOCKS = " ▁▂▃▄▅▆▇█"
+
+
+def unicode_histogram(counts: np.ndarray, width: int = 56) -> str:
+    """Down-bin counts to ``width`` columns of 8-level block characters."""
+    counts = np.asarray(counts, np.float64)
+    if counts.size == 0 or counts.sum() == 0:
+        return " " * width
+    k = max(1, int(np.ceil(counts.size / width)))
+    pad = (-counts.size) % k
+    cols = np.pad(counts, (0, pad)).reshape(-1, k).sum(axis=1)
+    peak = cols.max()
+    levels = np.ceil(cols / peak * 8).astype(int) if peak > 0 else cols
+    return "".join(_BLOCKS[v] for v in np.clip(levels, 0, 8))
+
+
+class LiveDashboard:
+    """Terminal stream renderer: pass as ``stream=`` to the engine.
+
+    On a TTY the panel redraws in place (cursor-up rewrite); on plain
+    streams each frame is appended, throttled by ``min_interval_s``
+    (the final frame always renders).
+    """
+
+    QS = (0.05, 0.25, 0.5, 0.75, 0.95)
+
+    def __init__(self, out=None, width: int = 56,
+                 min_interval_s: float = 0.25):
+        self.out = out if out is not None else sys.stdout
+        self.width = width
+        self.min_interval = min_interval_s
+        self._last_t = -1.0
+        self._lines_drawn = 0
+        self.frames = 0
+        self.last_update = None
+
+    def __call__(self, update) -> None:
+        self.last_update = update
+        final = update.done >= update.n_paths
+        if not final and update.elapsed_s - self._last_t < self.min_interval:
+            return
+        self._last_t = update.elapsed_s
+        self._render(update)
+
+    def _render(self, u) -> None:
+        lines = self._frame_lines(u)
+        out = self.out
+        if self._lines_drawn and getattr(out, "isatty", lambda: False)():
+            out.write(f"\x1b[{self._lines_drawn}A")  # cursor up: redraw
+        for ln in lines:
+            out.write("\x1b[2K" + ln + "\n"
+                      if getattr(out, "isatty", lambda: False)()
+                      else ln + "\n")
+        self._lines_drawn = len(lines)
+        self.frames += 1
+        out.flush()
+
+    def _frame_lines(self, u) -> list:
+        frac = u.done / max(u.n_paths, 1)
+        filled = int(round(frac * 24))
+        bar = "█" * filled + "░" * (24 - filled)
+        rate = u.done / max(u.elapsed_s, 1e-9)
+        eta = (u.n_paths - u.done) / max(rate, 1e-9)
+        m = u.moments
+        lines = [
+            f"paths {bar} {100 * frac:5.1f}%  {u.done:,} / {u.n_paths:,}"
+            f"  {rate / 1e6:,.0f}M paths/s  ETA {eta:.1f}s",
+            f"mean {m.mean:,.2f}   std {m.std:,.2f}   "
+            f"min {m.min:,.2f}   max {m.max:,.2f}",
+        ]
+        if u.done > 0:
+            q = u.quantiles(self.QS)
+            lines.append("   ".join(
+                f"p{int(100 * p):02d} {v:,.1f}" for p, v in zip(self.QS, q)
+            ))
+        if u.target_amount is not None and m.count_below is not None:
+            pct = 100.0 * m.count_below / max(u.done, 1)
+            lines.append(
+                f"P(final < {u.target_amount:,.1f}) = {pct:.4f}%"
+                f"   (count {m.count_below:,})"
+            )
+        interior = u.hist[1:-1]
+        nz = np.nonzero(interior)[0]
+        if nz.size:
+            edges = u.spec.edges()
+            lo_b, hi_b = int(nz[0]), int(nz[-1]) + 1
+            lines.append(
+                f"hist  {unicode_histogram(interior[lo_b:hi_b], self.width)}"
+                f"  [{edges[lo_b]:,.0f} .. {edges[hi_b]:,.0f}]"
+            )
+        return lines
+
+
+def query_loop(update, inp=None, out=None) -> None:
+    """Interactive target re-query — the reference's recompute-on-change
+    slider (visualize_returns_cpu.cpp:340-356) as a prompt. Type an amount
+    for P(final < amount); 'q' to quit."""
+    inp = inp if inp is not None else sys.stdin
+    out = out if out is not None else sys.stdout
+    out.write("target amount ('q' quits)> ")
+    out.flush()
+    for line in inp:
+        s = line.strip()
+        if s.lower() in ("q", "quit", "exit", ""):
+            break
+        try:
+            amount = float(s)
+        except ValueError:
+            out.write(f"not a number: {s!r}\n")
+        else:
+            p = update.prob_below(amount)
+            out.write(
+                f"P(final < {amount:,.2f}) = {100 * p:.4f}%"
+                f"  (~{int(round(p * update.done)):,} of {update.done:,})\n"
+            )
+        out.write("target amount ('q' quits)> ")
+        out.flush()
+    out.write("\n")
 
 
 def live_visualize(n_months: int, n_simulations: int,
@@ -29,15 +155,22 @@ def live_visualize(n_months: int, n_simulations: int,
                    seed: int = 0, n_curves: int = 100,
                    save: Optional[str] = None,
                    show: bool = False,
-                   overlay_normal: bool = False):
+                   overlay_normal: bool = False,
+                   live: bool = True,
+                   interactive: Optional[bool] = None,
+                   stream_out=None):
     """``overlay_normal`` adds the CLT normal-pdf curve over the exact
     final-value histogram — what the reference's
     visualize_returns_distribution_gpu_reduceBlock GUI attempted from block
     stats (its header admits "histogram/statistics aren't correct",
     examples/...cpp:183-186); here both the histogram and the overlay are
-    exact on-device statistics."""
+    exact on-device statistics.
+
+    ``live=True`` attaches a :class:`LiveDashboard` that redraws exact
+    partial statistics while the run streams; ``interactive`` (default:
+    auto when stdin is a TTY) opens the target re-query prompt afterwards.
+    """
     import stock_market_monte_carlo_tpu as smmc
-    from stock_market_monte_carlo_tpu.engine.progress import TerminalProgress
     from stock_market_monte_carlo_tpu.viz.plots import fan_chart
 
     if model_kind == "historical":
@@ -45,9 +178,18 @@ def live_visualize(n_months: int, n_simulations: int,
     else:
         model = smmc.GaussianReturns()
 
+    dashboard = LiveDashboard(out=stream_out) if live else None
+    progress = None
+    if not live:
+        from stock_market_monte_carlo_tpu.engine.progress import (
+            TerminalProgress,
+        )
+
+        progress = TerminalProgress()
+
     res = smmc.run(
         model, n_simulations, n_months, initial_capital=1000.0, seed=seed,
-        target_amount=target, progress=TerminalProgress(),
+        target_amount=target, progress=progress, stream=dashboard,
         keep_trajectories=min(n_curves, n_simulations),
     )
     print(res.summary())
@@ -80,4 +222,9 @@ def live_visualize(n_months: int, n_simulations: int,
                f"(drawing {res.trajectories.shape[0]})"),
         show=show, normal_curve=normal_curve,
     )
+    if interactive is None:
+        interactive = sys.stdin.isatty()
+    if interactive and dashboard is not None \
+            and dashboard.last_update is not None:
+        query_loop(dashboard.last_update)
     return res

@@ -1,0 +1,93 @@
+"""Live-streaming visualization: the engine's StreamUpdate callback path
+and the terminal dashboard (the working analog of the reference's render
+loop polling shared stats mid-run, visualize_returns_cpu.cpp:296-434)."""
+
+import io
+
+import numpy as np
+import pytest
+
+import stock_market_monte_carlo_tpu as smmc
+from stock_market_monte_carlo_tpu.config import EngineOptions
+from stock_market_monte_carlo_tpu.engine.engine import KEY_TILE
+from stock_market_monte_carlo_tpu.viz.live import (
+    LiveDashboard,
+    query_loop,
+    unicode_histogram,
+)
+
+GAUSS = smmc.GaussianReturns(mean_pct=0.5, std_pct=10.0 / 12)
+
+
+def test_stream_updates_are_exact_partials():
+    updates = []
+    n = 4 * KEY_TILE
+    res = smmc.simulate_stats(
+        GAUSS, n, 24, seed=3, target_amount=1200.0,
+        options=EngineOptions(chunk_paths=KEY_TILE),
+        stream=updates.append,
+    )
+    assert len(updates) >= 4
+    dones = [u.done for u in updates]
+    assert dones == sorted(dones) and dones[-1] == n
+    # every frame's histogram mass equals its done count
+    for u in updates:
+        assert u.hist.sum() == u.done
+        assert u.moments.n == u.done
+    # final frame must agree exactly with the returned result
+    np.testing.assert_array_equal(updates[-1].hist, res.histogram_counts)
+    assert updates[-1].moments.mean == pytest.approx(res.mean, rel=1e-12)
+
+
+def test_stream_prob_below_matches_count():
+    updates = []
+    n = 2 * KEY_TILE
+    res = smmc.simulate_stats(
+        GAUSS, n, 60, seed=5, target_amount=1500.0,
+        options=EngineOptions(chunk_paths=KEY_TILE),
+        stream=updates.append, keep_final_values=True,
+    )
+    u = updates[-1]
+    exact = (res.final_values < 1500.0).mean()
+    # histogram interpolation: within a bin width of exact
+    assert abs(u.prob_below(1500.0) - exact) < 5e-3
+    # far-out targets are exact
+    assert u.prob_below(1.0) == 0.0
+    assert u.prob_below(1e12) == 1.0
+
+
+def test_live_dashboard_renders_frames():
+    out = io.StringIO()
+    dash = LiveDashboard(out=out, min_interval_s=0.0)
+    n = 4 * KEY_TILE
+    smmc.simulate_stats(
+        GAUSS, n, 12, seed=1, target_amount=1100.0,
+        options=EngineOptions(chunk_paths=KEY_TILE), stream=dash,
+    )
+    text = out.getvalue()
+    assert dash.frames >= 4           # redrew during the run, not just after
+    assert "paths" in text and "mean" in text
+    assert "P(final <" in text
+    assert "hist" in text
+    assert "100.0%" in text           # final frame rendered
+
+
+def test_query_loop_recomputes_targets():
+    updates = []
+    smmc.simulate_stats(
+        GAUSS, 2 * KEY_TILE, 24, seed=2,
+        options=EngineOptions(chunk_paths=KEY_TILE),
+        stream=updates.append,
+    )
+    out = io.StringIO()
+    query_loop(updates[-1], inp=io.StringIO("1e12\nnotanum\nq\n"), out=out)
+    text = out.getvalue()
+    assert "P(final < 1,000,000,000,000.00) = 100.0000%" in text
+    assert "not a number" in text
+
+
+def test_unicode_histogram_shapes():
+    assert len(unicode_histogram(np.ones(500), width=56)) == 56
+    assert unicode_histogram(np.zeros(10)) .strip() == ""
+    s = unicode_histogram(np.asarray([1.0, 100.0, 1.0]), width=3)
+    assert s[1] == "█"
