@@ -130,6 +130,37 @@ int smmc_sobol_points(const uint32_t *direction, int dims, long long offset,
   return 0;
 }
 
+// 64-bit-depth Sobol integers — the i8-parity cross-check (the reference's
+// i8_sobol supports 2^62 sequence indices in double precision,
+// include/sobol/sobol.cpp:14191; its Joe-Kuo generator is 32-bit only).
+// direction64 is (dims, 64) uint64 0.64-fixed-point direction numbers;
+// emits the raw 64-bit XOR-fold state for n consecutive indices starting
+// at `offset` (gray-code order, random access).
+int smmc_sobol_bits64(const uint64_t *direction64, int dims,
+                      long long offset, long long n, uint64_t *out) {
+  if (dims <= 0 || n < 0 || offset < 0) return -1;
+  std::vector<uint64_t> x(dims, 0);
+  uint64_t gray = (uint64_t)offset ^ ((uint64_t)offset >> 1);
+  for (int b = 0; b < 64; ++b) {
+    if ((gray >> b) & 1ull) {
+      for (int d = 0; d < dims; ++d) x[d] ^= direction64[d * 64 + b];
+    }
+  }
+  for (long long i = 0; i < n; ++i) {
+    for (int d = 0; d < dims; ++d) out[i * dims + d] = x[d];
+    uint64_t idx = (uint64_t)(offset + i);
+    int c = 0;
+    while (idx & 1ull) {
+      idx >>= 1;
+      ++c;
+    }
+    if (c < 64) {
+      for (int d = 0; d < dims; ++d) x[d] ^= direction64[d * 64 + c];
+    }
+  }
+  return 0;
+}
+
 // Exact streaming merge of partition statistics (Chan et al.) — the
 // host-side companion to the on-device partial stats, replacing the
 // reference's biased mean-of-block-means merge

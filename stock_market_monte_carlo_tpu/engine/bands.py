@@ -1,0 +1,203 @@
+"""Device-side trajectory decimation: percentile bands without
+materializing (n_paths, T+1) anywhere.
+
+The reference's keep-data engine stores every trajectory
+(src/simulations.cpp:139-202; ~28 GB at 100M x 360, README.md:70) and its
+GUIs then draw <= 100 of them. Here the band statistics are computed on
+device: each chunk's trajectories are reduced to per-month z-score
+histograms (T+1 months x n_bins), accumulated across chunks, and only that
+O(T * n_bins) table crosses to the host — bands for 100M paths transfer
+~1 MB instead of ~144 GB.
+
+Method: month t's fund values are approximately log-normal with log-center
+log(v0) + t*mu_l and log-scale sigma_l*sqrt(t) (mu_l, sigma_l the log
+growth moments the histogram spec already uses). Binning the z-score
+z = (log V_t - center_t) / scale_t on a fixed [-12, 12] grid gives every
+month the same *relative* resolution, so band quantiles are accurate to a
+fraction of a bin width at any horizon. Depleted paths (V=0 under
+withdrawals) land in the underflow bin exactly.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from functools import partial
+from typing import Optional, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from stock_market_monte_carlo_tpu.config import EngineOptions
+from stock_market_monte_carlo_tpu.models.strategies import NoWithdrawal
+
+Z_RANGE = 12.0
+
+
+@dataclasses.dataclass
+class TrajectoryBands:
+    """Percentile bands over time + a capped set of sample trajectories."""
+
+    quantile_levels: Tuple[float, ...]
+    values: np.ndarray          # (len(levels), T+1) fund values
+    months: np.ndarray          # (T+1,)
+    sample_paths: np.ndarray    # (k, T+1)
+    n_paths: int
+    month_hist: np.ndarray      # (T+1, n_bins+2) accumulated counts
+    centers: np.ndarray         # (T+1,) log centers
+    scales: np.ndarray          # (T+1,) log scales
+
+    def band(self, level: float) -> np.ndarray:
+        return self.values[self.quantile_levels.index(level)]
+
+
+@partial(jax.jit, static_argnames=("b", "t", "n_bins", "linear"))
+def _chunk_month_hist(model, strategy, root_key, scramble_key, v0,
+                      offset, valid, centers, inv_scales, b, t, n_bins,
+                      linear):
+    from stock_market_monte_carlo_tpu.engine import engine as eng
+
+    growth = eng.sample_growth(model, root_key, scramble_key, offset, (b, t))
+    traj = eng.compound_paths(growth, v0, strategy)        # (b, t+1)
+    if linear:
+        # non-multiplicative (fixed-amount) strategies shift values
+        # additively — bin V/hi_t linearly on [0, 1]; exact zeros
+        # (depleted) go to the underflow bin
+        z01 = traj * inv_scales[None, :]
+        raw = jnp.floor(z01 * n_bins)
+        idx = jnp.clip(raw.astype(jnp.int32) + 1, 1, n_bins + 1)
+        idx = jnp.where(traj <= 0.0, 0, idx)
+    else:
+        logv = jnp.log(jnp.maximum(traj, 1e-37))
+        z = (logv - centers[None, :]) * inv_scales[None, :]
+        raw = jnp.floor((z + Z_RANGE) * (n_bins / (2 * Z_RANGE)))
+        idx = jnp.clip(raw.astype(jnp.int32) + 1, 0, n_bins + 1)
+        idx = jnp.where(logv <= np.log(1e-37), 0, idx)     # depleted
+    lane = jnp.arange(b, dtype=jnp.int32)[:, None]
+    idx = jnp.where(lane < valid, idx, n_bins + 2)         # padding -> discard
+    month = jnp.broadcast_to(
+        jnp.arange(t + 1, dtype=jnp.int32)[None, :], idx.shape
+    )
+    flat = month * (n_bins + 3) + idx
+    counts = jax.ops.segment_sum(
+        jnp.ones_like(flat, jnp.float32).ravel(), flat.ravel(),
+        num_segments=(t + 1) * (n_bins + 3),
+    ).reshape(t + 1, n_bins + 3)
+    return counts[:, : n_bins + 2]
+
+
+def simulate_bands(
+    model,
+    n_paths: int,
+    n_periods: int,
+    initial_capital: float = 1000.0,
+    seed: int = 0,
+    strategy=NoWithdrawal(),
+    quantile_levels: Sequence[float] = (0.05, 0.25, 0.5, 0.75, 0.95),
+    sample_paths: int = 32,
+    n_bins: int = 1024,
+    options: EngineOptions = EngineOptions(),
+    progress=None,
+) -> TrajectoryBands:
+    """Percentile bands over the full horizon for any number of paths.
+
+    Host transfer is O(T * n_bins) regardless of n_paths — the capability
+    of the reference's store-everything v1 engine at v2's memory cost.
+    """
+    from stock_market_monte_carlo_tpu.engine import engine as eng
+
+    eng._validate_n_paths(model, n_paths, options.chunk_paths)
+    mu_l, sigma_l = eng.log_growth_moments(model)
+    months = np.arange(n_periods + 1)
+    linear = not eng._is_multiplicative(strategy)
+    centers = np.log(initial_capital) + months * mu_l
+    if linear:
+        # fixed-amount withdrawals shift values additively, which a
+        # log-z grid cannot bracket — bin linearly on [0, hi_t] with
+        # hi_t the +12-sigma lognormal envelope of the withdrawal-free
+        # fund (withdrawals only lower values)
+        hi = np.exp(centers + Z_RANGE * sigma_l
+                    * np.sqrt(np.maximum(months, 1)))
+        scales = hi
+        centers = np.zeros_like(hi)
+        inv_scales_j = jnp.asarray(1.0 / hi, jnp.float32)
+    else:
+        if not isinstance(strategy, NoWithdrawal):
+            # percent withdrawals shift the log center by log(keep)/month;
+            # split the difference so both tails stay inside +/-12 z
+            centers = centers + months * np.log(max(
+                1e-6,
+                float(np.min(np.asarray(eng._keep_factors(
+                    strategy, max(n_periods, 1))))),
+            )) * 0.5
+        scales = np.maximum(sigma_l * np.sqrt(np.maximum(months, 1)), 1e-9)
+        inv_scales_j = jnp.asarray(1.0 / scales, jnp.float32)
+    centers_j = jnp.asarray(centers, jnp.float32)
+
+    b = min(eng._xla_chunk_paths(n_periods, options), options.chunk_paths)
+    root_key = jax.random.key(seed)
+    scramble_key = jax.random.fold_in(root_key, 0x50B0)
+    v0 = jnp.float32(initial_capital)
+
+    total = np.zeros((n_periods + 1, n_bins + 2), np.float64)
+    done, offset, remaining = 0, 0, n_paths
+    while remaining > 0:
+        valid = min(remaining, b)
+        this_b = b if n_paths > b else eng._round_up(valid, eng.KEY_TILE)
+        counts = _chunk_month_hist(
+            model, strategy, root_key, scramble_key, v0,
+            jnp.uint32(offset), jnp.int32(valid), centers_j, inv_scales_j,
+            this_b, n_periods, n_bins, linear,
+        )
+        total += np.asarray(counts, np.float64)
+        offset += this_b
+        done += valid
+        remaining -= valid
+        if progress is not None:
+            progress(done, n_paths)
+
+    # invert the z-grid to fund values per quantile per month (host, O(T))
+    qs = tuple(quantile_levels)
+    values = np.empty((len(qs), n_periods + 1))
+    if linear:
+        z_edges = np.linspace(0.0, 1.0, n_bins + 1)
+    else:
+        z_edges = np.linspace(-Z_RANGE, Z_RANGE, n_bins + 1)
+    for tt in range(n_periods + 1):
+        counts = total[tt]
+        cdf = np.cumsum(counts)
+        tot = cdf[-1]
+        for qi, q in enumerate(qs):
+            rank = q * tot
+            bb = int(np.searchsorted(cdf, rank, side="left"))
+            bb = min(bb, n_bins + 1)
+            if bb == 0:          # depleted mass
+                values[qi, tt] = 0.0
+                continue
+            prev = cdf[bb - 1] if bb > 0 else 0.0
+            inbin = counts[bb]
+            frac = (rank - prev) / inbin if inbin > 0 else 0.5
+            lo = z_edges[bb - 1] if bb - 1 < len(z_edges) else z_edges[-1]
+            hi = (z_edges[bb] if bb < len(z_edges)
+                  else z_edges[-1] + (z_edges[1] - z_edges[0]))
+            z = lo + frac * (hi - lo)
+            if linear:
+                values[qi, tt] = z * scales[tt]
+            else:
+                values[qi, tt] = np.exp(centers[tt] + z * scales[tt])
+
+    k = min(sample_paths, n_paths)
+    sample = np.asarray(eng.simulate_paths(
+        model, k, n_periods, initial_capital, seed, strategy
+    )) if k > 0 else np.empty((0, n_periods + 1))
+
+    return TrajectoryBands(
+        quantile_levels=qs,
+        values=values,
+        months=months,
+        sample_paths=sample,
+        n_paths=n_paths,
+        month_hist=total,
+        centers=centers,
+        scales=scales,
+    )

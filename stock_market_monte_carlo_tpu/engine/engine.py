@@ -375,12 +375,19 @@ def _validate_n_paths(model, n_paths: int, per_dispatch: int) -> None:
             f"(limit {(1 << 32) - per_dispatch} at this chunk size); split "
             "the run over multiple seeds instead"
         )
-    if getattr(model, "is_quasi", False) and n_paths > (1 << 31):
-        raise ValueError(
-            f"n_paths={n_paths} exceeds the 2^31 Sobol sequence-index "
-            "space; use a pseudo-random model past 2^31 paths or split "
-            "the run over multiple scramble seeds"
-        )
+    if getattr(model, "is_quasi", False):
+        if n_paths > (1 << 31):
+            raise ValueError(
+                f"n_paths={n_paths} exceeds 2^31 paths per Sobol run; "
+                "split the run and position each part with "
+                "index_offset (the 2^62-deep i8-parity index space)"
+            )
+        index_offset = getattr(model, "index_offset", 0)
+        if index_offset + n_paths > (1 << 62):
+            raise ValueError(
+                f"index_offset {index_offset} + n_paths {n_paths} exceeds "
+                "the 2^62 Sobol sequence (i8_sobol depth)"
+            )
 
 
 def _xla_chunk_paths(n_periods: int, options: EngineOptions) -> int:

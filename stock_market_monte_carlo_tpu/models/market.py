@@ -126,20 +126,22 @@ class HistoricalBootstrap:
         return table[idx]
 
 
-def _sobol_uniforms(direction, path_offset, shape, scramble_key):
+def _sobol_uniforms(direction, path_offset, shape, scramble_key,
+                    index_offset: int = 0):
     """(paths, periods) low-discrepancy uniforms; dim = period index."""
     from stock_market_monte_carlo_tpu.ops.sobol import sobol_points_f32
 
     n_paths, n_periods = shape
     return sobol_points_f32(
-        direction, path_offset, n_paths, n_periods, scramble_key
+        direction, path_offset, n_paths, n_periods, scramble_key,
+        index_offset,
     )
 
 
 @partial(
     jax.tree_util.register_dataclass,
     data_fields=["mean_pct", "std_pct", "direction"],
-    meta_fields=[],
+    meta_fields=["index_offset"],
 )
 @dataclasses.dataclass(frozen=True)
 class SobolGaussianReturns:
@@ -150,30 +152,44 @@ class SobolGaussianReturns:
     vendored Sobol (include/sobol_joekuo/sobol.cc:74-166) but never wired it
     into a simulator. Points are Owen-style digit-scrambled per seed so
     repeated runs give unbiased error estimates.
+
+    ``index_offset`` (static, < 2^62) positions the run deeper in the
+    sequence — the reference i8_sobol's 64-bit index depth
+    (include/sobol/sobol.cpp:14191). Nonzero offsets use a (dims, 64)
+    direction table (create(..., index_offset=...) builds it).
     """
 
-    direction: jax.Array  # (dims, 32) uint32 direction numbers
+    direction: jax.Array  # (dims, 32) or (dims, 64) uint32 directions
     mean_pct: Union[float, jax.Array] = DEFAULT_GAUSSIAN_MEAN_PCT
     std_pct: Union[float, jax.Array] = DEFAULT_GAUSSIAN_STD_PCT
+    index_offset: int = 0
 
     kind = "sobol_gaussian"
     is_quasi = True
 
     @classmethod
     def create(cls, n_periods, mean_pct=DEFAULT_GAUSSIAN_MEAN_PCT,
-               std_pct=DEFAULT_GAUSSIAN_STD_PCT) -> "SobolGaussianReturns":
-        from stock_market_monte_carlo_tpu.ops.sobol import direction_numbers
+               std_pct=DEFAULT_GAUSSIAN_STD_PCT,
+               index_offset: int = 0) -> "SobolGaussianReturns":
+        from stock_market_monte_carlo_tpu.ops.sobol import (
+            direction_numbers,
+            direction_numbers_hi32,
+        )
 
+        table = (direction_numbers_hi32(n_periods) if index_offset
+                 else direction_numbers(n_periods))
         return cls(
-            direction=jnp.asarray(direction_numbers(n_periods)),
+            direction=jnp.asarray(table),
             mean_pct=mean_pct,
             std_pct=std_pct,
+            index_offset=index_offset,
         )
 
     def sample_returns_pct_quasi(self, scramble_key, path_offset, shape):
         from stock_market_monte_carlo_tpu.ops.normal import normal_icdf
 
-        u = _sobol_uniforms(self.direction, path_offset, shape, scramble_key)
+        u = _sobol_uniforms(self.direction, path_offset, shape,
+                            scramble_key, self.index_offset)
         z = normal_icdf(u)
         return (
             jnp.asarray(self.mean_pct, jnp.float32)
@@ -184,7 +200,7 @@ class SobolGaussianReturns:
 @partial(
     jax.tree_util.register_dataclass,
     data_fields=["returns_pct", "direction"],
-    meta_fields=[],
+    meta_fields=["index_offset"],
 )
 @dataclasses.dataclass(frozen=True)
 class SobolHistoricalBootstrap:
@@ -192,22 +208,31 @@ class SobolHistoricalBootstrap:
 
     returns_pct: jax.Array
     direction: jax.Array
+    index_offset: int = 0
 
     kind = "sobol_historical"
     is_quasi = True
 
     @classmethod
-    def create(cls, returns_pct, n_periods) -> "SobolHistoricalBootstrap":
-        from stock_market_monte_carlo_tpu.ops.sobol import direction_numbers
+    def create(cls, returns_pct, n_periods,
+               index_offset: int = 0) -> "SobolHistoricalBootstrap":
+        from stock_market_monte_carlo_tpu.ops.sobol import (
+            direction_numbers,
+            direction_numbers_hi32,
+        )
 
+        table = (direction_numbers_hi32(n_periods) if index_offset
+                 else direction_numbers(n_periods))
         return cls(
             returns_pct=jnp.asarray(returns_pct, jnp.float32),
-            direction=jnp.asarray(direction_numbers(n_periods)),
+            direction=jnp.asarray(table),
+            index_offset=index_offset,
         )
 
     def sample_returns_pct_quasi(self, scramble_key, path_offset, shape):
         table = jnp.asarray(self.returns_pct, jnp.float32)
-        u = _sobol_uniforms(self.direction, path_offset, shape, scramble_key)
+        u = _sobol_uniforms(self.direction, path_offset, shape,
+                            scramble_key, self.index_offset)
         n = table.shape[0]
         idx = jnp.minimum((u * n).astype(jnp.int32), n - 1)
         return table[idx]

@@ -61,6 +61,12 @@ def _configure(lib):
         ctypes.c_longlong, ctypes.c_longlong,            # offset, n
         ctypes.POINTER(ctypes.c_double),                 # out (n*dims)
     ]
+    lib.smmc_sobol_bits64.restype = ctypes.c_int
+    lib.smmc_sobol_bits64.argtypes = [
+        ctypes.POINTER(ctypes.c_uint64), ctypes.c_int,   # direction64, dims
+        ctypes.c_longlong, ctypes.c_longlong,            # offset, n
+        ctypes.POINTER(ctypes.c_uint64),                 # out (n*dims)
+    ]
     lib.smmc_welford_merge.restype = None
     lib.smmc_welford_merge.argtypes = [
         ctypes.POINTER(ctypes.c_double),
@@ -137,4 +143,24 @@ def native_sobol_points(direction: np.ndarray, offset: int,
     )
     if rc != 0:
         raise RuntimeError(f"native sobol failed (code {rc})")
+    return out
+
+
+def native_sobol_bits64(direction64: np.ndarray, offset: int,
+                        n: int) -> Optional[np.ndarray]:
+    """Raw 64-bit Sobol fold states (n, dims) for indices past 2^32 — the
+    C++ i8-depth cross-check for ops.sobol.sobol_bits64."""
+    lib = _lib()
+    if lib is None:
+        return None
+    d = np.ascontiguousarray(direction64, np.uint64)
+    dims = d.shape[0]
+    out = np.empty((n, dims), np.uint64)
+    rc = lib.smmc_sobol_bits64(
+        d.ctypes.data_as(ctypes.POINTER(ctypes.c_uint64)), dims,
+        offset, n,
+        out.ctypes.data_as(ctypes.POINTER(ctypes.c_uint64)),
+    )
+    if rc != 0:
+        raise RuntimeError(f"native sobol64 failed (code {rc})")
     return out

@@ -121,7 +121,8 @@ def _bootstrap_idx_exact_i32(st, n_i32):
 
 
 def _build_kernel(kind: str, strategy_kind: str, n_periods: int,
-                  n_table_chunks: int, rng_mode: str = "counter"):
+                  n_table_chunks: int, rng_mode: str = "counter",
+                  sobol_deep: bool = False):
     """Kernel specialized on (model kind, strategy kind, horizon).
 
     Ref layout (inputs then outputs):
@@ -165,9 +166,22 @@ def _build_kernel(kind: str, strategy_kind: str, n_periods: int,
 
         if is_sobol:
             # global sequence position -> gray code, folded per dimension
-            # (int32 bit-ops, same patterns as uint32; >2^31 paths unsupported)
+            # (int32 bit-ops, same patterns as uint32)
             gid = tile * jnp.int32(TILE_PATHS) + (rr * 128 + ll)
-            gray = gid ^ _shr(gid, 1)
+            if sobol_deep:
+                # 64-bit sequence index (i8_sobol depth, reference
+                # include/sobol/sobol.cpp:14191): base offset words in
+                # iscal[5:7]; carry via unsigned compare in int32
+                off_lo, off_hi = iscal[5], iscal[6]
+                lo = off_lo + gid
+                sgn = jnp.int32(-2147483648)
+                carry = ((lo ^ sgn) < (off_lo ^ sgn)).astype(jnp.int32)
+                hi = off_hi + carry
+                glo = lo ^ (_shr(lo, 1) | (hi << jnp.int32(31)))
+                ghi = hi ^ _shr(hi, 1)
+            else:
+                glo = gid ^ _shr(gid, 1)
+                ghi = None
 
         def uniforms(t):
             if not is_sobol:
@@ -177,8 +191,13 @@ def _build_kernel(kind: str, strategy_kind: str, n_periods: int,
             acc = jnp.zeros((TILE_ROWS, 128), jnp.int32)
             for bit in range(32):
                 d = dir_ref[t, bit]
-                take = (_shr(gray, bit) & jnp.int32(1)) > 0
+                take = (_shr(glo, bit) & jnp.int32(1)) > 0
                 acc = jnp.where(take, acc ^ d, acc)
+            if sobol_deep:
+                for bit in range(32):
+                    d = dir_ref[t, 32 + bit]
+                    take = (_shr(ghi, bit) & jnp.int32(1)) > 0
+                    acc = jnp.where(take, acc ^ d, acc)
             acc = acc ^ shift_ref[t, 0]
             return _u23_from_bits(acc)
 
@@ -416,29 +435,39 @@ def _build_clt_kernel(n_periods: int, n_hist_total: int):
         v0 = fscal[0]
         log_lo, inv_w = fscal[5], fscal[6]
         q = q_ref[:]
-        # growth = a + b*z = (a - b*colshift) + (cnt@Q) * (b*colscale)
-        cs = cs_ref[:] * b       # (1,K)
-        arow = a - sh_ref[:] * b  # (1,K)
 
-        col = jax.lax.broadcasted_iota(jnp.int32, (P, K), 1)
+        # growth = a + b*z = (a - b*colshift) + (cnt@Q) * (b*colscale).
+        # The tail-month mask (months beyond the horizon contribute growth
+        # factor 1) is folded into the per-block (1,K) constants — dead
+        # columns get cs=0, arow=1 — so the hot loop has no per-element
+        # iota compare/select at all.
+        col1 = jax.lax.broadcasted_iota(jnp.int32, (1, K), 1)
+
+        def block_consts(j):
+            live = col1 < (n_periods - j * K)
+            return (jnp.where(live, a - sh_ref[:] * b, 1.0),
+                    jnp.where(live, cs_ref[:] * b, 0.0))
 
         def body(j, prod):
+            # one full-tile draw + one full-tile matmul per block (a
+            # row-half split to encourage VPU/MXU overlap measured SLOWER:
+            # 0.375 s vs 0.357 s — Mosaic schedules the big ops better)
             bits = pltpu.prng_random_bits((P, K))
             cnt = jax.lax.shift_right_logical(bits, 16)
             zraw = jax.lax.dot_general(
                 cnt.astype(jnp.bfloat16), q, (((1,), (0,)), ((), ())),
                 preferred_element_type=jnp.float32,
             )
-            # months beyond the horizon contribute growth factor 1
-            gfac = jnp.where(
-                col < n_periods - j * K, arow + zraw * cs, 1.0
-            )
-            return prod * gfac
+            arow_j, cs_j = block_consts(j)
+            return prod * (arow_j + zraw * cs_j)
 
         prod = jnp.ones((P, K), jnp.float32)
         if nblocks <= 16:
             # fully unroll: gives Mosaic freedom to overlap the next
-            # block's PRNG draw with the current block's MXU mix
+            # block's PRNG draw with the current block's MXU mix (an
+            # explicit draw-ahead reorder of the same dataflow measured
+            # SLOWER — 0.443 s vs 0.374 s — the list scheduler prefers
+            # this order)
             for j in range(nblocks):
                 prod = body(j, prod)
         else:
@@ -483,6 +512,8 @@ def _build_clt_kernel(n_periods: int, n_hist_total: int):
         bins_t = jax.lax.transpose(bins, (1, 0))    # (1, P) — one vreg row
         k_col = jax.lax.broadcasted_iota(jnp.int32, (64, P), 0)
         k_io = jax.lax.broadcasted_iota(jnp.int32, (P, 64), 1)
+        # bf16 one-hots (int8 measured SLOWER here: the int8 lowering on
+        # this Mosaic version costs more than the MXU rate doubling saves)
         oh_hi_t = ((bins_t >> 6) == k_col).astype(jnp.bfloat16)
         oh_lo = ((bins & 63) == k_io).astype(jnp.bfloat16)
         hist_ref[:] = jax.lax.dot_general(
@@ -528,9 +559,9 @@ def _build_clt_call(n_periods: int, n_hist_total: int, ntiles: int,
 @lru_cache(maxsize=64)
 def _build_pallas_call(kind: str, strategy_kind: str, n_periods: int,
                        n_table_chunks: int, ntiles: int, interpret: bool,
-                       rng_mode: str = "counter"):
+                       rng_mode: str = "counter", sobol_deep: bool = False):
     kernel = _build_kernel(kind, strategy_kind, n_periods, n_table_chunks,
-                           rng_mode)
+                           rng_mode, sobol_deep)
     is_sobol = kind.startswith("sobol")
     is_hist = kind.endswith("historical")
     has_keep = strategy_kind in ("fixed_percent", "variable_percent")
@@ -686,12 +717,16 @@ def pallas_chunk_stats(model, strategy, root_key, scramble_key, v0,
         keep = _keep_factors(strategy, n_periods).reshape(-1, 1)
         operands.append(keep)
 
+    index_offset = int(getattr(model, "index_offset", 0))
+    sobol_deep = kind.startswith("sobol") and index_offset != 0
     tail_n = n_table - 128 * (n_table_chunks - 1) if n_table else 0
     iscal = jnp.stack([
         seed_base, tile0, jnp.asarray(valid, jnp.int32),
         jnp.asarray(n_table, jnp.int32),
         jnp.asarray(tail_n, jnp.int32),
-        jnp.int32(0), jnp.int32(0), jnp.int32(0),
+        jnp.int32(np.int32(np.uint32(index_offset & 0xFFFFFFFF))),
+        jnp.int32(np.int32(np.uint32(index_offset >> 32))),
+        jnp.int32(0),
     ])
     fscal = jnp.stack([
         jnp.asarray(v0, jnp.float32), a, b, amount,
@@ -701,7 +736,7 @@ def pallas_chunk_stats(model, strategy, root_key, scramble_key, v0,
 
     call = _build_pallas_call(
         kind, strategy_kind, n_periods, n_table_chunks, ntiles, interpret,
-        getattr(model, "rng", "counter"),
+        getattr(model, "rng", "counter"), sobol_deep,
     )
     finals2d, partials = call(iscal, fscal, *operands)
 

@@ -125,36 +125,70 @@ def _poly_degree(mask: int) -> int:
     return mask.bit_length() - 1
 
 
+INDEX_BITS = 64  # i8-parity sequence depth (reference i8_sobol: 2^62
+#                  indices, include/sobol/sobol.cpp:14191)
+
+
 @lru_cache(maxsize=32)
-def direction_numbers(dims: int) -> np.ndarray:
-    """(dims, 32) uint32 direction numbers V[d][k] for bit k (MSB-scaled:
-    point = XOR of V over set bits of gray(i), as a 0.32 fixed-point)."""
+def direction_numbers_u64(dims: int) -> np.ndarray:
+    """(dims, 64) uint64 direction numbers as 0.64 fixed point.
+
+    Entry [d][k] is XORed into the point when bit k of gray(index) is set;
+    indices up to 2^62 are supported (parity with the reference's i8_sobol
+    depth, include/sobol/sobol.cpp:14191 — its i4 path stops at 2^30).
+    The top 32 bits of the first 32 entries reproduce the 32-bit table
+    exactly, so 64-bit indexing is a strict extension: the same sequence
+    positions give the same f32 points.
+    """
     polys = primitive_polynomials()
     if dims - 1 > len(polys):
         raise ValueError(
             f"sobol: {dims} dims requested, only {len(polys) + 1} supported"
         )
     rng = np.random.default_rng(_M_SEED)
-    v = np.zeros((dims, 32), np.uint32)
+    nb = INDEX_BITS
+    v = np.zeros((dims, nb), np.uint64)
     # dimension 0: van der Corput — m_k = 1 for all k
-    v[0] = np.uint32(1) << (31 - np.arange(32, dtype=np.uint32))
+    v[0] = np.uint64(1) << (nb - 1 - np.arange(nb, dtype=np.uint64))
+    mask64 = (1 << 64) - 1
     for dim in range(1, dims):
         p = int(polys[dim - 1])
         s = _poly_degree(p)
-        # initial values: m_i odd, uniform in [1, 2^i)
+        # initial values: m_i odd, uniform in [1, 2^i) — the SAME draws as
+        # the 32-bit table (one rng call per value, same order)
         m = [int(rng.integers(0, 1 << max(i - 1, 0))) * 2 + 1
              for i in range(1, s + 1)]
-        for k in range(s, 32):
+        for k in range(s, nb):
             new = m[k - s] ^ (m[k - s] << s)
             for j in range(1, s):
                 if (p >> (s - j)) & 1:
                     new ^= m[k - j] << j
-            m.append(new & 0xFFFFFFFF)
-        mk = np.asarray(m[:32], np.uint64)
-        v[dim] = (mk << (31 - np.arange(32, dtype=np.uint64))).astype(
-            np.uint32
+            m.append(new & mask64)
+        mk = np.asarray(m[:nb], object)  # m_k up to k bits wide
+        v[dim] = np.asarray(
+            [(int(mk[k]) << (nb - 1 - k)) & mask64 for k in range(nb)],
+            np.uint64,
         )
     return v
+
+
+@lru_cache(maxsize=32)
+def direction_numbers(dims: int) -> np.ndarray:
+    """(dims, 32) uint32 direction numbers V[d][k] for bit k (MSB-scaled:
+    point = XOR of V over set bits of gray(i), as a 0.32 fixed-point).
+    Equal to the top 32 bits of the first 32 columns of the 64-bit table."""
+    return (direction_numbers_u64(dims)[:, :32] >> np.uint64(32)).astype(
+        np.uint32
+    )
+
+
+@lru_cache(maxsize=32)
+def direction_numbers_hi32(dims: int) -> np.ndarray:
+    """(dims, 64) uint32: top-32 bits of every 64-bit direction number —
+    the device table for 64-bit sequence indices with f32 points (XOR
+    commutes with truncation, so folding truncated directions gives the
+    exact top-32 bits of the 0.64 fixed-point value)."""
+    return (direction_numbers_u64(dims) >> np.uint64(32)).astype(np.uint32)
 
 
 # ---------------------------------------------------------------------------
@@ -188,20 +222,91 @@ def sobol_bits(direction, index) -> jax.Array:
     return acc
 
 
+def sobol_bits64(direction_hi32, idx_lo, idx_hi) -> jax.Array:
+    """Raw Sobol integers (top 32 bits) for 64-bit sequence positions.
+
+    direction_hi32: (dims, 64) uint32 (see direction_numbers_hi32).
+    idx_lo/idx_hi: (...,) uint32 words of the 64-bit index. Returns
+    (..., dims) uint32 — exactly the top-32 bits of the full 0.64 point,
+    since XOR commutes with truncation. For idx_hi == 0 this equals
+    sobol_bits over the 32-bit table at the same positions.
+    """
+    direction = jnp.asarray(direction_hi32, jnp.uint32)
+    lo = jnp.asarray(idx_lo, jnp.uint32)
+    hi = jnp.asarray(idx_hi, jnp.uint32)
+    # 64-bit gray code across the word boundary
+    glo = lo ^ ((lo >> jnp.uint32(1)) | (hi << jnp.uint32(31)))
+    ghi = hi ^ (hi >> jnp.uint32(1))
+    acc = jnp.zeros(lo.shape + (direction.shape[0],), jnp.uint32)
+    for b in range(32):
+        bit = ((glo >> jnp.uint32(b)) & jnp.uint32(1)).astype(jnp.bool_)
+        acc = jnp.where(bit[..., None], acc ^ direction[:, b], acc)
+    for b in range(32):
+        bit = ((ghi >> jnp.uint32(b)) & jnp.uint32(1)).astype(jnp.bool_)
+        acc = jnp.where(bit[..., None], acc ^ direction[:, 32 + b], acc)
+    return acc
+
+
+def _split_index64(index_offset: int, first_index, n: int):
+    """(lo, hi) uint32 word pairs for positions index_offset + first_index
+    + [0, n) with explicit carries (first_index may be a traced uint32)."""
+    if not 0 <= index_offset < 1 << 62:
+        raise ValueError(
+            f"sobol index_offset must be in [0, 2^62), got {index_offset}"
+        )
+    off_lo = jnp.uint32(index_offset & 0xFFFFFFFF)
+    off_hi = jnp.uint32(index_offset >> 32)
+    base_lo = off_lo + jnp.asarray(first_index, jnp.uint32)
+    base_hi = off_hi + (base_lo < off_lo).astype(jnp.uint32)
+    ar = jnp.arange(n, dtype=jnp.uint32)
+    lo = base_lo + ar
+    hi = base_hi + (lo < base_lo).astype(jnp.uint32)
+    return lo, hi
+
+
 def sobol_points_f32(direction, first_index, n: int, dims: int,
-                     scramble_key=None) -> jax.Array:
+                     scramble_key=None, index_offset: int = 0) -> jax.Array:
     """(n, dims) scrambled Sobol points in [0, 1), float32.
 
     ``first_index`` may be traced (global path offset); ``n``/``dims`` are
-    static. The reference's equivalent is sobol_points (sobol_joekuo/
-    sobol.cc:74-166), which is serial and host-only.
+    static. ``index_offset`` (static, < 2^62) shifts the whole run deeper
+    into the sequence — with a (dims, 64) direction table this gives the
+    reference i8_sobol's index depth (include/sobol/sobol.cpp:14191); the
+    reference's own sobol_points (sobol_joekuo/sobol.cc:74-166) is serial,
+    host-only, and 32-bit.
     """
     direction = jnp.asarray(direction, jnp.uint32)[:dims]
-    idx = jnp.asarray(first_index, jnp.uint32) + jnp.arange(
-        n, dtype=jnp.uint32
-    )
-    bits = sobol_bits(direction, idx)
+    deep = index_offset != 0 or direction.shape[-1] == 64
+    if deep:
+        if direction.shape[-1] != 64:
+            raise ValueError(
+                "index_offset beyond 0 needs a (dims, 64) direction table "
+                "(ops.sobol.direction_numbers_hi32)"
+            )
+        lo, hi = _split_index64(index_offset, first_index, n)
+        bits = sobol_bits64(direction, lo, hi)
+    else:
+        idx = jnp.asarray(first_index, jnp.uint32) + jnp.arange(
+            n, dtype=jnp.uint32
+        )
+        bits = sobol_bits(direction, idx)
     if scramble_key is not None:
         bits = bits ^ digital_shift(scramble_key, dims)[None, :]
     # u32 -> [0,1): same 2^-32 scale the reference kernels use.
     return bits.astype(jnp.float32) * jnp.float32(2.3283064365386963e-10)
+
+
+def sobol_points_f64_host(dims: int, offset: int, n: int) -> np.ndarray:
+    """(n, dims) float64 points at full 64-bit precision (host/numpy) —
+    the analytic-depth parity surface for the reference's i8_sobol f64
+    output (include/sobol/sobol.cpp:14191). Device paths use f32."""
+    v = direction_numbers_u64(dims)
+    out = np.empty((n, dims))
+    idx = np.arange(offset, offset + n, dtype=np.uint64)
+    gray = idx ^ (idx >> np.uint64(1))
+    acc = np.zeros((n, dims), np.uint64)
+    for b in range(INDEX_BITS):
+        take = (gray >> np.uint64(b)) & np.uint64(1)
+        acc ^= np.where(take[:, None].astype(bool), v[None, :, b], 0)
+    out = acc.astype(np.float64) * (2.0 ** -64)
+    return out

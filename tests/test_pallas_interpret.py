@@ -69,3 +69,14 @@ def test_sobol_pallas_strategies():
         options=OPTS_PALLAS,
     )
     np.testing.assert_allclose(w, base * 0.99**12, rtol=1e-4)
+
+
+def test_sobol_deep_index_pallas_matches_xla():
+    """64-bit-depth Sobol (index_offset past 2^33) through the Pallas
+    kernel's two-word gray fold vs the XLA path."""
+    m = smmc.SobolGaussianReturns.create(
+        n_periods=12, index_offset=(1 << 33) + 777
+    )
+    fp = smmc.simulate_final_values(m, 8192, 12, seed=5, options=OPTS_PALLAS)
+    fx = smmc.simulate_final_values(m, 8192, 12, seed=5, options=OPTS_XLA)
+    np.testing.assert_allclose(fp, fx, rtol=1e-3)

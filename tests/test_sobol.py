@@ -111,3 +111,95 @@ def test_sobol_historical_model(historical_table):
 def test_sobol_dims_limit():
     with pytest.raises(ValueError, match="dims"):
         sb.direction_numbers(100_000)
+
+
+# ---------------------------------------------------------------------------
+# 64-bit sequence depth (i8_sobol parity: 2^62 indices,
+# reference include/sobol/sobol.cpp:14191)
+# ---------------------------------------------------------------------------
+
+
+def test_direction_tables_consistent():
+    """The 32-bit table is exactly the top-32 bits of the first 32 columns
+    of the 64-bit table, so deep indexing extends the same sequence."""
+    v32 = sb.direction_numbers(16)
+    v64 = sb.direction_numbers_u64(16)
+    np.testing.assert_array_equal(
+        v32, (v64[:, :32] >> np.uint64(32)).astype(np.uint32)
+    )
+
+
+def test_sobol_bits64_matches_32bit_at_low_indices():
+    hi32 = sb.direction_numbers_hi32(8)
+    idx = np.arange(500, dtype=np.uint32)
+    b64 = np.asarray(sb.sobol_bits64(
+        jnp.asarray(hi32), jnp.asarray(idx), jnp.zeros_like(idx)
+    ))
+    b32 = np.asarray(sb.sobol_bits(
+        jnp.asarray(sb.direction_numbers(8)), jnp.asarray(idx)
+    ))
+    np.testing.assert_array_equal(b64, b32)
+
+
+@pytest.mark.parametrize("offset", [(1 << 31) + 7, (1 << 33) + 12345,
+                                    (1 << 45) + 999])
+def test_sobol_bits64_matches_native_beyond_32bit(offset):
+    """Device fold at >2^31 / >2^32 offsets vs the C++ 64-bit generator."""
+    from stock_market_monte_carlo_tpu import native
+
+    if not native.available():
+        pytest.skip("native library not built")
+    dims, n = 6, 64
+    v64 = sb.direction_numbers_u64(dims)
+    want = native.native_sobol_bits64(v64, offset, n)
+    lo, hi = sb._split_index64(offset, jnp.uint32(0), n)
+    got = np.asarray(sb.sobol_bits64(
+        jnp.asarray(sb.direction_numbers_hi32(dims)), lo, hi
+    ))
+    np.testing.assert_array_equal(
+        got, (want >> np.uint64(32)).astype(np.uint32)
+    )
+
+
+def test_f64_host_points_match_native():
+    from stock_market_monte_carlo_tpu import native
+
+    if not native.available():
+        pytest.skip("native library not built")
+    dims, n, offset = 4, 32, (1 << 40) + 3
+    pts = sb.sobol_points_f64_host(dims, offset, n)
+    bits = native.native_sobol_bits64(
+        sb.direction_numbers_u64(dims), offset, n
+    )
+    np.testing.assert_allclose(
+        pts, bits.astype(np.float64) * 2.0**-64, rtol=0, atol=0
+    )
+
+
+def test_deep_index_engine_xla_end_to_end():
+    """A model positioned past 2^33 runs and matches direct point gen."""
+    off = (1 << 33) + 54321
+    m = smmc.SobolGaussianReturns.create(12, index_offset=off)
+    res = smmc.simulate_stats(m, 8192, 12, seed=0)
+    assert np.isfinite(res.mean) and res.mean > 0
+    # direct check: the model's uniforms equal sobol_points_f32 at the
+    # same 64-bit positions
+    u_direct = np.asarray(sb.sobol_points_f32(
+        sb.direction_numbers_hi32(12), jnp.uint32(0), 16, 12,
+        index_offset=off,
+    ))
+    hi32 = sb.direction_numbers_hi32(12)
+    lo, hi = sb._split_index64(off, jnp.uint32(0), 16)
+    bits = np.asarray(sb.sobol_bits64(jnp.asarray(hi32), lo, hi))
+    np.testing.assert_allclose(
+        u_direct, bits.astype(np.float64) * 2.0**-32, rtol=1e-6
+    )
+
+
+def test_deep_index_validation():
+    m = smmc.SobolGaussianReturns.create(4, index_offset=(1 << 62) - 4096)
+    with pytest.raises(ValueError, match="2\\^62"):
+        smmc.simulate_stats(m, 8192, 4)
+    with pytest.raises(ValueError, match="direction table"):
+        sb.sobol_points_f32(sb.direction_numbers(4), jnp.uint32(0), 8, 4,
+                            index_offset=123)
