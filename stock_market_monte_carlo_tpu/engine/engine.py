@@ -579,13 +579,25 @@ def simulate_stats(
                 jnp.uint32(offset), jnp.int32(this_valid_total), target,
             )
         else:
-            offsets = jnp.uint32(offset) + jnp.uint32(b) * jnp.arange(
-                n_dev, dtype=jnp.uint32
+            # Build the per-device offset/valid arrays with an explicit
+            # sharding over the mesh: on a process-spanning mesh
+            # (jax.distributed) each process materializes only its
+            # addressable shards — plain host arrays would not be
+            # accepted as P("paths")-sharded inputs there.
+            np_off = np.uint32(offset) + np.uint32(b) * np.arange(
+                n_dev, dtype=np.uint32
             )
-            valids = jnp.clip(
-                jnp.int32(this_valid_total)
-                - jnp.int32(b) * jnp.arange(n_dev, dtype=jnp.int32),
+            np_val = np.clip(
+                np.int64(this_valid_total)
+                - np.int64(b) * np.arange(n_dev, dtype=np.int64),
                 0, b,
+            ).astype(np.int32)
+            shard = jax.sharding.NamedSharding(mesh, P(mesh.axis_names[0]))
+            offsets = jax.make_array_from_callback(
+                (n_dev,), shard, lambda i: np_off[i]
+            )
+            valids = jax.make_array_from_callback(
+                (n_dev,), shard, lambda i: np_val[i]
             )
             out = fn(
                 model, strategy, root_key, scramble_key, v0,

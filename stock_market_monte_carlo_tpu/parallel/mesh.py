@@ -11,7 +11,11 @@ Multi-host: initialize ``jax.distributed`` before calling ``paths_mesh()``
 and every process passes its full ``jax.devices()`` — the mesh then spans
 the slice and the same engine code runs unchanged; only final statistics
 (a few KB) ever cross DCN, mirroring the reduceBlock design goal at pod
-scale.
+scale. This is proven, not just claimed: tests/test_multihost.py spawns a
+real 2-process ``jax.distributed`` CPU cluster (4 virtual devices each),
+runs ``simulate_stats`` over the process-spanning 8-device mesh, and
+checks both processes report statistics matching a single-process run
+(identical histogram/counts; moments to collective-rounding tolerance).
 """
 
 from __future__ import annotations
