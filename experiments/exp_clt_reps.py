@@ -12,3 +12,6 @@ for rep in range(3):
     r = smmc.simulate_stats(g, 100_000_000, 360, seed=7, options=opts)
     _ = r.mean
     print(f"rep{rep}: {time.perf_counter()-t0:.3f} s")
+mean_a = 1000 * 1.005**360
+assert abs(r.mean - mean_a) / mean_a < 1e-3, (r.mean, mean_a)
+print("moments ok:", r.mean, r.std)

@@ -1,53 +1,143 @@
-"""Benchmark comparison — the python/benchmark_compare.py equivalent.
+"""Benchmark comparison — the reference workflow's analysis surface.
 
-Reads two benchmark JSON files (either our ``smmc benchmark-google``
-output or Google-Benchmark JSON, both use a ``benchmarks`` list) and prints
-a side-by-side table with relative deltas; optionally plots.
+The reference compares runs two ways (README.md:87-96,
+python/benchmark_compare.py:103-143):
+
+1. ``benchmark/tools/compare.py`` over Google-Benchmark JSON with
+   ``--benchmark_repetitions=10`` — a Mann-Whitney U test decides whether
+   the time distributions actually differ;
+2. ``benchmark_compare.py`` plots metrics relative to a baseline.
+
+Both capabilities live here: ``compare_files`` reads two benchmark JSON
+files (our ``smmc benchmark-google`` output or Google-Benchmark JSON —
+per-repetition entries and/or aggregates), prints a side-by-side table
+with speedups, runs the U test whenever both sides carry repetition
+samples, and can plot absolute times plus a relative-to-baseline panel.
 """
 
 from __future__ import annotations
 
 import json
-from typing import Optional
+import math
+from typing import Dict, List, Optional
 
 
-def _load(path):
+def mann_whitney_u(xs: List[float], ys: List[float]):
+    """Two-sided Mann-Whitney U test (normal approximation, tie-corrected,
+    continuity-corrected). Returns (U, p_value).
+
+    The same decision rule Google Benchmark's compare.py applies to
+    repetition samples: small p => the two time distributions differ.
+    """
+    n1, n2 = len(xs), len(ys)
+    if n1 < 2 or n2 < 2:
+        raise ValueError("need >= 2 samples per side")
+    pooled = sorted((v, 0) for v in xs)
+    pooled = sorted(pooled + [(v, 1) for v in ys])
+    # average ranks for ties
+    ranks = [0.0] * len(pooled)
+    i = 0
+    tie_term = 0.0
+    while i < len(pooled):
+        j = i
+        while j < len(pooled) and pooled[j][0] == pooled[i][0]:
+            j += 1
+        avg_rank = (i + j + 1) / 2.0  # ranks are 1-based
+        for k in range(i, j):
+            ranks[k] = avg_rank
+        t = j - i
+        tie_term += t**3 - t
+        i = j
+    r1 = sum(r for r, (_, side) in zip(ranks, pooled) if side == 0)
+    u1 = r1 - n1 * (n1 + 1) / 2.0
+    u = min(u1, n1 * n2 - u1)
+    n = n1 + n2
+    mu = n1 * n2 / 2.0
+    var = n1 * n2 / 12.0 * ((n + 1) - tie_term / (n * (n - 1)))
+    if var <= 0:  # all values identical
+        return u, 1.0
+    z = (u - mu + 0.5) / math.sqrt(var)
+    p = math.erfc(-z / math.sqrt(2.0))  # 2*Phi(z), z <= 0 here
+    return u, min(p, 1.0)
+
+
+def _load(path) -> Dict[str, dict]:
+    """name -> {time, unit, samples, paths_per_second}.
+
+    Accepts per-repetition entries (Google Benchmark ``run_type:
+    iteration`` / ``repetition_index``), aggregate entries
+    (``aggregate_name`` mean/median/stddev), and our single-entry format
+    with ``real_time_median``. Samples group by the family name with any
+    ``_mean``/``_median``/``_stddev`` suffix stripped.
+    """
     with open(path) as f:
         data = json.load(f)
-    out = {}
+    out: Dict[str, dict] = {}
     for b in data.get("benchmarks", []):
         name = b.get("name", "?")
-        t = b.get("real_time_median", b.get("real_time"))
-        out[name] = {
-            "time": float(t),
-            "unit": b.get("time_unit", "s"),
-            "paths_per_second": b.get("paths_per_second"),
-        }
+        family = name
+        for suffix in ("_mean", "_median", "_stddev", "_cv"):
+            if family.endswith(suffix):
+                family = family[: -len(suffix)]
+        rec = out.setdefault(family, {
+            "time": None, "unit": b.get("time_unit", "s"),
+            "samples": [], "paths_per_second": None,
+        })
+        agg = b.get("aggregate_name")
+        is_sample = (b.get("run_type") == "iteration"
+                     or "repetition_index" in b
+                     or (agg is None and name == family
+                         and "real_time_median" not in b))
+        t = b.get("real_time")
+        if is_sample and t is not None:
+            rec["samples"].append(float(t))
+        if agg == "median" or "real_time_median" in b:
+            rec["time"] = float(b.get("real_time_median", t))
+        elif rec["time"] is None and t is not None:
+            rec["time"] = float(t)
+        if b.get("paths_per_second") is not None:
+            rec["paths_per_second"] = b["paths_per_second"]
+        if "repetition_samples" in b:  # our benchmark-google output
+            rec["samples"].extend(float(x) for x in
+                                  b["repetition_samples"])
+    for rec in out.values():
+        if rec["time"] is None and rec["samples"]:
+            s = sorted(rec["samples"])
+            rec["time"] = s[len(s) // 2]
     if not out:
         raise SystemExit(f"{path!r} has no benchmarks")
     return out
 
 
 def compare_files(baseline_path: str, contender_path: str,
-                  plot_path: Optional[str] = None):
+                  plot_path: Optional[str] = None, alpha: float = 0.05):
     base = _load(baseline_path)
     cont = _load(contender_path)
     names = sorted(set(base) | set(cont))
     rows = []
-    print(f"{'benchmark':40s} {'baseline':>12s} {'contender':>12s} "
-          f"{'speedup':>8s}")
+    print(f"{'benchmark':36s} {'baseline':>12s} {'contender':>12s} "
+          f"{'speedup':>8s} {'p(U)':>8s}")
     for n in names:
         b = base.get(n)
         c = cont.get(n)
         if b is None or c is None:
             bt = "--" if b is None else f"{b['time']:.4f}"
             ct = "--" if c is None else f"{c['time']:.4f}"
-            print(f"{n:40s} {bt:>12s} {ct:>12s} {'--':>8s}")
+            print(f"{n:36s} {bt:>12s} {ct:>12s} {'--':>8s} {'--':>8s}")
             continue
         speedup = b["time"] / c["time"] if c["time"] else float("inf")
-        rows.append((n, b["time"], c["time"], speedup))
-        print(f"{n:40s} {b['time']:>10.4f}{b['unit']:>2s} "
-              f"{c['time']:>10.4f}{c['unit']:>2s} {speedup:>7.2f}x")
+        p_txt, p_val = "--", None
+        if len(b["samples"]) >= 2 and len(c["samples"]) >= 2:
+            _, p_val = mann_whitney_u(b["samples"], c["samples"])
+            mark = "*" if p_val < alpha else " "
+            p_txt = f"{p_val:.4f}{mark}"
+        rows.append((n, b["time"], c["time"], speedup, p_val))
+        print(f"{n:36s} {b['time']:>10.4f}{b['unit']:>2s} "
+              f"{c['time']:>10.4f}{c['unit']:>2s} {speedup:>7.2f}x "
+              f"{p_txt:>8s}")
+    if rows and any(r[4] is not None for r in rows):
+        print(f"(* = distributions differ at alpha={alpha}, "
+              "Mann-Whitney U two-sided)")
 
     if plot_path and rows:
         import matplotlib
@@ -55,15 +145,22 @@ def compare_files(baseline_path: str, contender_path: str,
         matplotlib.use("Agg")
         import matplotlib.pyplot as plt
 
-        names_, bt, ct, _ = zip(*rows)
+        names_, bt, ct, speedups, _ = zip(*rows)
         x = range(len(rows))
-        fig, ax = plt.subplots(figsize=(10, 5))
+        fig, (ax, axr) = plt.subplots(
+            2, 1, figsize=(10, 8), height_ratios=[2, 1], sharex=True
+        )
         ax.bar([i - 0.2 for i in x], bt, width=0.4, label="baseline")
         ax.bar([i + 0.2 for i in x], ct, width=0.4, label="contender")
-        ax.set_xticks(list(x))
-        ax.set_xticklabels(names_, rotation=30, ha="right")
         ax.set_ylabel("time")
         ax.legend()
+        # relative-to-baseline panel (benchmark_compare.py:103-143)
+        rel = [c / b if b else float("nan") for b, c in zip(bt, ct)]
+        axr.bar(list(x), rel, color="#888888")
+        axr.axhline(1.0, color="k", lw=1)
+        axr.set_ylabel("contender / baseline")
+        axr.set_xticks(list(x))
+        axr.set_xticklabels(names_, rotation=30, ha="right")
         plt.tight_layout()
         plt.savefig(plot_path)
         print(f"saved {plot_path}")

@@ -132,19 +132,29 @@ def benchmark_google(args):
         runs.append(res.elapsed_s)
         print(f"rep {rep}: {res.elapsed_s:.4f} s "
               f"({args.n_simulations / res.elapsed_s:,.0f} paths/s)")
-    out = {
-        "benchmarks": [
-            {
-                "name": f"mc/{args.n_months}/{args.n_simulations}",
-                "repetitions": args.repetitions,
-                "real_time": float(np.mean(runs)),
-                "real_time_median": float(np.median(runs)),
-                "real_time_stddev": float(np.std(runs)),
-                "time_unit": "s",
-                "paths_per_second": args.n_simulations / float(np.mean(runs)),
-            }
-        ],
-    }
+    name = f"mc/{args.n_months}/{args.n_simulations}"
+    # Google-Benchmark-shaped: one entry per repetition plus aggregates,
+    # so bench/compare.py can run the Mann-Whitney U test on the samples
+    # (the reference workflow: --benchmark_repetitions=10 + compare.py,
+    # README.md:87-96).
+    entries = [
+        {
+            "name": name, "run_type": "iteration", "repetition_index": i,
+            "real_time": float(t), "time_unit": "s",
+        }
+        for i, t in enumerate(runs)
+    ]
+    for agg, val in (("mean", np.mean(runs)), ("median", np.median(runs)),
+                     ("stddev", np.std(runs))):
+        entries.append({
+            "name": f"{name}_{agg}", "run_type": "aggregate",
+            "aggregate_name": agg, "real_time": float(val),
+            "time_unit": "s",
+        })
+    entries[-3]["paths_per_second"] = (
+        args.n_simulations / float(np.mean(runs))
+    )
+    out = {"benchmarks": entries}
     text = json.dumps(out, indent=2)
     if args.benchmark_out:
         with open(args.benchmark_out, "w") as f:

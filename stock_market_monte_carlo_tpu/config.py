@@ -48,8 +48,13 @@ class EngineOptions:
     #  - "clt":  MXU orthogonal-mix sampler — 128 uniforms mixed through a
     #    random orthogonal matrix per 128-month block (CLT_K=128). Exact
     #    mean/variance/skew; per-month excess kurtosis -1.2/128 (washes out
-    #    over the horizon's convolution). ~1.4x faster; Gaussian +
-    #    no-withdrawal only (other combinations fall back to "icdf").
+    #    over the horizon's convolution). ~1.4x faster; plain Gaussian
+    #    compounding only (strategy runs fall back to "icdf", which
+    #    measures faster for them).
+    #  - "clt-prefix": CLT that also runs percent-withdrawal strategies
+    #    in-kernel via a lane prefix-product on 2048-path tiles. Exact
+    #    withdrawn totals, but measured SLOWER than the icdf fallback
+    #    (1.007 s vs 0.563 s at 100M x 360); explicit opt-in.
     gaussian_sampler: str = "icdf"
 
     def __post_init__(self):
@@ -58,9 +63,9 @@ class EngineOptions:
                 "chunk_paths must be a multiple of 8192 (the RNG/path tile),"
                 f" got {self.chunk_paths}"
             )
-        if self.gaussian_sampler not in ("icdf", "clt"):
+        if self.gaussian_sampler not in ("icdf", "clt", "clt-prefix"):
             raise ValueError(
-                f"gaussian_sampler must be 'icdf' or 'clt', "
+                "gaussian_sampler must be 'icdf', 'clt', or 'clt-prefix', "
                 f"got {self.gaussian_sampler!r}"
             )
 

@@ -354,12 +354,24 @@ def resolve_backend(options: EngineOptions) -> str:
 
 def _effective_sampler(model, strategy, backend: str,
                        options: EngineOptions) -> str:
-    """The Gaussian sampler that actually runs: 'clt' only applies on the
-    Pallas backend to Gaussian models (pallas_engine.pallas_chunk_stats
-    falls back to the exact kernel otherwise)."""
-    if (options.gaussian_sampler == "clt" and backend == "pallas"
-            and model.kind == "gaussian" and strategy.kind == "none"):
+    """The Gaussian sampler that actually runs on the Pallas backend.
+
+    'clt' applies to plain Gaussian compounding; withdrawal-strategy runs
+    fall back to the exact ICDF kernel, which MEASURES faster than the
+    CLT lane-prefix kernel (100M x 360 fixed-percent: ICDF 0.563 s vs
+    CLT-prefix 1.007 s — the withdrawn total's prefix product costs more
+    than the ICDF it displaces). 'clt-prefix' forces the prefix kernel
+    (exact withdrawn via 7 roll-multiply steps per 128-month block), kept
+    for environments with different VMEM/tile tradeoffs.
+    """
+    if (backend != "pallas" or model.kind != "gaussian"):
+        return "icdf"
+    if (options.gaussian_sampler in ("clt", "clt-prefix")
+            and strategy.kind == "none"):
         return "clt"
+    if (options.gaussian_sampler == "clt-prefix"
+            and strategy.kind in ("fixed_percent", "variable_percent")):
+        return "clt-prefix"   # distinct stream: 2048-path tiles
     return "icdf"
 
 
@@ -571,7 +583,8 @@ def simulate_stats(
         fn = _get_chunk_fn(
             (model.kind, getattr(model, "rng", "counter")),
             strategy.kind, n_periods, b, spec, keep_finals,
-            mesh, backend, options.gaussian_sampler,
+            mesh, backend,
+            _effective_sampler(model, strategy, backend, options),
         )
         if mesh is None:
             out = fn(

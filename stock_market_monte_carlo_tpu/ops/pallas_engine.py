@@ -389,7 +389,11 @@ def _build_kernel(kind: str, strategy_kind: str, n_periods: int,
 # the whole tile's histogram is accumulated on the MXU in-kernel.
 # ---------------------------------------------------------------------------
 
-CLT_P = 4096   # paths per CLT tile
+CLT_P = 4096        # paths per CLT tile (plain compounding)
+CLT_P_STRATEGY = 2048  # paths per tile with withdrawal strategies — the
+#                       lane prefix-product chain adds ~7 live (P,K)
+#                       buffers, which blows the 16 MB scoped-VMEM limit
+#                       at P=4096 (measured 22 MB); halving P fits
 CLT_K = 128    # months per block = mixing dimension
 
 
@@ -422,12 +426,23 @@ def _clt_qmatrix(k: int):
     return np.asarray(q_bf16), colscale[None, :], colshift[None, :]
 
 
-def _build_clt_kernel(n_periods: int, n_hist_total: int):
-    P, K = CLT_P, CLT_K
+def _build_clt_kernel(n_periods: int, n_hist_total: int,
+                      with_strategy: bool = False):
+    """``with_strategy`` enables multiplicative withdrawal strategies at
+    CLT speed: per-month keep fractions fold into the per-block (1,K)
+    affine constants (finals are free), and the per-path withdrawn total
+    comes from a lane prefix-product (Hillis-Steele over the 128 month
+    lanes, 7 roll-multiply steps per block) — the reference has no
+    withdrawal support at all (README.md:130-133 TODO)."""
+    P = CLT_P_STRATEGY if with_strategy else CLT_P
+    K = CLT_K
     nblocks = -(-n_periods // K)
 
-    def kernel(iscal, fscal, q_ref, cs_ref, sh_ref, finals_ref,
-               partials_ref, hist_ref):
+    def kernel(*refs):
+        it = iter(refs)
+        iscal, fscal, q_ref, cs_ref, sh_ref = (next(it) for _ in range(5))
+        keep_ref = next(it) if with_strategy else None
+        finals_ref, partials_ref, hist_ref = (next(it) for _ in range(3))
         pid = pl.program_id(0)
         tile = iscal[1] + pid
         pltpu.prng_seed(_tile_seed_i32(iscal[0], tile))
@@ -448,7 +463,7 @@ def _build_clt_kernel(n_periods: int, n_hist_total: int):
             return (jnp.where(live, a - sh_ref[:] * b, 1.0),
                     jnp.where(live, cs_ref[:] * b, 0.0))
 
-        def body(j, prod):
+        def draw_mix(j):
             # one full-tile draw + one full-tile matmul per block (a
             # row-half split to encourage VPU/MXU overlap measured SLOWER:
             # 0.375 s vs 0.357 s — Mosaic schedules the big ops better)
@@ -459,22 +474,56 @@ def _build_clt_kernel(n_periods: int, n_hist_total: int):
                 preferred_element_type=jnp.float32,
             )
             arow_j, cs_j = block_consts(j)
-            return prod * (arow_j + zraw * cs_j)
+            return arow_j + zraw * cs_j
 
-        prod = jnp.ones((P, K), jnp.float32)
-        if nblocks <= 16:
-            # fully unroll: gives Mosaic freedom to overlap the next
-            # block's PRNG draw with the current block's MXU mix (an
-            # explicit draw-ahead reorder of the same dataflow measured
-            # SLOWER — 0.443 s vs 0.374 s — the list scheduler prefers
-            # this order)
-            for j in range(nblocks):
-                prod = body(j, prod)
+        if not with_strategy:
+            def body(j, prod):
+                return prod * draw_mix(j)
+
+            prod = jnp.ones((P, K), jnp.float32)
+            if nblocks <= 16:
+                # fully unroll: gives Mosaic freedom to overlap the next
+                # block's PRNG draw with the current block's MXU mix (an
+                # explicit draw-ahead reorder of the same dataflow
+                # measured SLOWER — 0.443 s vs 0.374 s — the list
+                # scheduler prefers this order)
+                for j in range(nblocks):
+                    prod = body(j, prod)
+            else:
+                prod = jax.lax.fori_loop(0, nblocks, body, prod)
+            # (an MXU matvec for this lane-sum measured neutral — 0.365 s
+            # vs 0.357 s — the VPU reduction is not the bottleneck)
+            finals = v0 * jnp.exp(
+                jnp.sum(jnp.log(prod), axis=1, keepdims=True)
+            )
+            wsum = jnp.zeros((P, 1), jnp.float32)
         else:
-            prod = jax.lax.fori_loop(0, nblocks, body, prod)
-        finals = v0 * jnp.exp(
-            jnp.sum(jnp.log(prod), axis=1, keepdims=True)
-        )
+            carry = jnp.full((P, 1), 1.0, jnp.float32)
+            wsum = jnp.zeros((P, 1), jnp.float32)
+            for j in range(nblocks):
+                g_raw = draw_mix(j)                # dead cols -> 1
+                k_row = keep_ref[j, :][None, :]    # dead cols padded 1
+                gk = g_raw * k_row
+                # inclusive lane prefix product of gk (Hillis-Steele)
+                incl = gk
+                d = 1
+                while d < K:
+                    rolled = pltpu.roll(incl, d, 1)
+                    incl = incl * jnp.where(col1 >= d, rolled, 1.0)
+                    d *= 2
+                # exclusive prefix: shift by one lane, lane 0 -> 1
+                excl = jnp.where(
+                    col1 >= 1, pltpu.roll(incl, 1, 1), 1.0
+                )
+                # withdrawn in month (j,c) is grown*(1-k) with
+                # grown = v0*carry*excl*g; sum lanes first, scale by the
+                # (P,1) carry after — avoids a full (P,K) grown buffer
+                s_j = jnp.sum(
+                    excl * g_raw * (1.0 - k_row), axis=1, keepdims=True
+                )
+                wsum = wsum + (v0 * carry) * s_j
+                carry = carry * incl[:, K - 1:K]
+            finals = v0 * carry
         finals_ref[:] = finals
 
         rows = jax.lax.broadcasted_iota(jnp.int32, (P, 1), 0)
@@ -488,6 +537,7 @@ def _build_clt_kernel(n_periods: int, n_hist_total: int):
         mn = jnp.min(jnp.where(mask, finals, jnp.inf))
         mx = jnp.max(jnp.where(mask, finals, -jnp.inf))
         cb = jnp.sum(jnp.where(mask & (finals < target), 1.0, 0.0))
+        wd = jnp.sum(jnp.where(mask, wsum, 0.0))
 
         # assemble the (N_PARTIAL_ROWS, 128) partials block: scalars live in
         # lane 0; min/max rows pad with +/-inf so the cross-tile reduction
@@ -498,7 +548,7 @@ def _build_clt_kernel(n_periods: int, n_hist_total: int):
                         jnp.where(r_io == 5, -jnp.inf, 0.0))
         lane0 = l_io == 0
         for r_idx, val in ((0, s1), (1, s2), (2, s3), (3, s4),
-                           (4, mn), (5, mx), (6, cb)):
+                           (4, mn), (5, mx), (6, cb), (7, wd)):
             out = jnp.where(lane0 & (r_io == r_idx), val, out)
         partials_ref[:] = out
 
@@ -526,20 +576,24 @@ def _build_clt_kernel(n_periods: int, n_hist_total: int):
 
 @lru_cache(maxsize=32)
 def _build_clt_call(n_periods: int, n_hist_total: int, ntiles: int,
-                    interpret: bool):
-    kernel = _build_clt_kernel(n_periods, n_hist_total)
+                    interpret: bool, with_strategy: bool = False):
+    kernel = _build_clt_kernel(n_periods, n_hist_total, with_strategy)
+    in_specs = [
+        pl.BlockSpec(memory_space=pltpu.SMEM),
+        pl.BlockSpec(memory_space=pltpu.SMEM),
+        pl.BlockSpec(memory_space=pltpu.VMEM),
+        pl.BlockSpec(memory_space=pltpu.VMEM),
+        pl.BlockSpec(memory_space=pltpu.VMEM),
+    ]
+    if with_strategy:
+        in_specs.append(pl.BlockSpec(memory_space=pltpu.VMEM))  # keep rows
+    p_tile = CLT_P_STRATEGY if with_strategy else CLT_P
     return pl.pallas_call(
         kernel,
         grid=(ntiles,),
-        in_specs=[
-            pl.BlockSpec(memory_space=pltpu.SMEM),
-            pl.BlockSpec(memory_space=pltpu.SMEM),
-            pl.BlockSpec(memory_space=pltpu.VMEM),
-            pl.BlockSpec(memory_space=pltpu.VMEM),
-            pl.BlockSpec(memory_space=pltpu.VMEM),
-        ],
+        in_specs=in_specs,
         out_specs=(
-            pl.BlockSpec((CLT_P, 1), lambda i: (i, 0),
+            pl.BlockSpec((p_tile, 1), lambda i: (i, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((N_PARTIAL_ROWS, 128), lambda i: (i, 0),
                          memory_space=pltpu.VMEM),
@@ -547,7 +601,7 @@ def _build_clt_call(n_periods: int, n_hist_total: int, ntiles: int,
                          memory_space=pltpu.VMEM),
         ),
         out_shape=(
-            jax.ShapeDtypeStruct((ntiles * CLT_P, 1), jnp.float32),
+            jax.ShapeDtypeStruct((ntiles * p_tile, 1), jnp.float32),
             jax.ShapeDtypeStruct((ntiles * N_PARTIAL_ROWS, 128),
                                  jnp.float32),
             jax.ShapeDtypeStruct((ntiles * 64, 64), jnp.float32),
@@ -615,18 +669,22 @@ def _seed_base_i32(root_key):
 
 def _clt_chunk_stats(model, strategy, root_key, v0, path_offset, valid,
                      target, *, n_periods, chunk_shape_b, spec, keep_finals):
-    """CLT-sampler chunk (Gaussian, no-withdrawal): same output contract."""
-    assert chunk_shape_b % CLT_P == 0, (chunk_shape_b, CLT_P)
+    """CLT-sampler chunk (Gaussian, multiplicative strategies): same
+    output contract as chunk_stats."""
+    with_strategy = strategy.kind != "none"
+    p_tile = CLT_P_STRATEGY if with_strategy else CLT_P
+    assert chunk_shape_b % p_tile == 0, (chunk_shape_b, p_tile)
     hb = spec.n_bins + 2
     assert hb % 64 == 0 and hb <= 4096, hb
-    ntiles = chunk_shape_b // CLT_P
+    ntiles = chunk_shape_b // p_tile
     interpret = jax.default_backend() != "tpu"
 
     q, colscale, colshift = _clt_qmatrix(CLT_K)
     a = 1.0 + jnp.asarray(model.mean_pct, jnp.float32) * 0.01
     b = jnp.asarray(model.std_pct, jnp.float32) * 0.01
     tile0 = jax.lax.bitcast_convert_type(
-        jnp.asarray(path_offset, jnp.uint32) // jnp.uint32(CLT_P), jnp.int32
+        jnp.asarray(path_offset, jnp.uint32) // jnp.uint32(p_tile),
+        jnp.int32
     )
     iscal = jnp.stack([
         _seed_base_i32(root_key) ^ jnp.int32(0x11C7),  # own stream family
@@ -639,10 +697,16 @@ def _clt_chunk_stats(model, strategy, root_key, v0, path_offset, valid,
         jnp.float32(spec.log_lo), jnp.float32(1.0 / spec.width),
         jnp.float32(0),
     ])
-    call = _build_clt_call(n_periods, hb, ntiles, interpret)
-    finals2d, partials, hist_tiles = call(
-        iscal, fscal, q, colscale, colshift
-    )
+    operands = [iscal, fscal, q, colscale, colshift]
+    if with_strategy:
+        from stock_market_monte_carlo_tpu.engine.engine import _keep_factors
+
+        nblocks = -(-n_periods // CLT_K)
+        keep = jnp.ones((nblocks * CLT_K,), jnp.float32)
+        keep = keep.at[:n_periods].set(_keep_factors(strategy, n_periods))
+        operands.append(keep.reshape(nblocks, CLT_K))
+    call = _build_clt_call(n_periods, hb, ntiles, interpret, with_strategy)
+    finals2d, partials, hist_tiles = call(*operands)
 
     p = partials.reshape(ntiles, N_PARTIAL_ROWS, 128)
     stats = jnp.concatenate([
@@ -651,7 +715,7 @@ def _clt_chunk_stats(model, strategy, root_key, v0, path_offset, valid,
         jnp.min(p[:, 4])[None],
         jnp.max(p[:, 5])[None],
         jnp.sum(p[:, 6])[None],
-        jnp.zeros((1,), jnp.float32),  # withdrawn (strategy is none)
+        jnp.sum(p[:, 7])[None],
     ])
     hist = jnp.sum(
         hist_tiles.reshape(ntiles, 64, 64), axis=0
@@ -665,8 +729,14 @@ def pallas_chunk_stats(model, strategy, root_key, scramble_key, v0,
                        path_offset, valid, target, *, n_periods,
                        chunk_shape_b, spec, keep_finals, sampler="icdf"):
     """Drop-in replacement for engine.chunk_stats on TPU (same contract)."""
-    if (sampler == "clt" and model.kind == "gaussian"
-            and strategy.kind == "none"):
+    # the engine passes the EFFECTIVE sampler (engine._effective_sampler):
+    # "clt" = plain CLT tiles; "clt-prefix" = the lane-prefix strategy
+    # kernel on 2048-path tiles (explicit opt-in — measured slower than
+    # the exact ICDF kernel for strategy runs: 1.007 s vs 0.563 s at
+    # 100M x 360 fixed-percent)
+    if (sampler in ("clt", "clt-prefix") and model.kind == "gaussian"
+            and strategy.kind in ("none", "fixed_percent",
+                                  "variable_percent")):
         return _clt_chunk_stats(
             model, strategy, root_key, v0, path_offset, valid, target,
             n_periods=n_periods, chunk_shape_b=chunk_shape_b, spec=spec,

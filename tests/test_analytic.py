@@ -1,0 +1,81 @@
+"""The FFT-convolution oracle (ops/analytic.py): exact final-value
+distribution for the Gaussian market — the independent CPU reference the
+1e-3 statistical-parity bar is asserted against."""
+
+import numpy as np
+import pytest
+
+import stock_market_monte_carlo_tpu as smmc
+from stock_market_monte_carlo_tpu.ops import analytic as an
+
+
+def test_oracle_moments_match_closed_form():
+    """FFT-grid mean/std must reproduce the closed-form moments to ~1e-6
+    over short and long horizons."""
+    for t in (1, 12, 120, 360):
+        values, cdf = an.final_value_distribution(0.5, 10 / 12, t, 1000.0)
+        pmf = np.diff(np.concatenate([[0.0], cdf]))
+        mean = float((values * pmf).sum())
+        second = float((values**2 * pmf).sum())
+        std = np.sqrt(second - mean * mean)
+        mean_a, std_a = an.final_value_moments(0.5, 10 / 12, t, 1000.0)
+        assert abs(mean - mean_a) / mean_a < 1e-6, t
+        assert abs(std - std_a) / std_a < 1e-5, t
+
+
+def test_oracle_t1_is_shifted_normal():
+    """One month: V = v0*(1 + r/100), quantiles are exactly normal."""
+    import jax.numpy as jnp
+
+    from stock_market_monte_carlo_tpu.ops.normal import normal_icdf
+
+    qs = [0.01, 0.25, 0.5, 0.75, 0.99]
+    got = an.final_value_quantiles(0.5, 10 / 12, 1, 1000.0, qs)
+    z = np.asarray(normal_icdf(jnp.asarray(qs, jnp.float32)), np.float64)
+    want = 1000.0 * (1 + (0.5 + 10 / 12 * z) / 100.0)
+    np.testing.assert_allclose(got, want, rtol=1e-5)
+
+
+def test_oracle_grid_convergence():
+    """Doubling the grid changes 360-month quantiles by < 1e-5 rel —
+    the oracle's own error is far below the 1e-3 parity bar."""
+    qs = [0.05, 0.5, 0.95]
+    a = np.asarray([
+        _q(qs, n_grid=1 << 14)
+    ]).ravel()
+    b = np.asarray([
+        _q(qs, n_grid=1 << 15)
+    ]).ravel()
+    np.testing.assert_allclose(a, b, rtol=3e-5)
+
+
+def _q(qs, n_grid):
+    values, cdf = an.final_value_distribution(0.5, 10 / 12, 360, 1000.0,
+                                              n_grid=n_grid)
+    logv = np.log(values)
+    out = []
+    for q in qs:
+        j = int(np.searchsorted(cdf, q))
+        out.append(np.exp(logv[j]))
+    return out
+
+
+def test_engine_meets_1e3_bar_against_oracle():
+    """CPU engine (XLA threefry) at 2^21 paths: mean/std/quantiles within
+    1e-3 of the independent oracle (BASELINE.md north-star tolerance).
+    The TPU kernels are held to the same bar in tests/test_tpu_only.py."""
+    n, t = 1 << 21, 120
+    res = smmc.simulate_stats(smmc.GaussianReturns(), n, t, seed=11)
+    mean_a, std_a = an.final_value_moments(0.5, 10 / 12, t, 1000.0)
+    assert abs(res.mean - mean_a) / mean_a < 1e-3
+    assert abs(res.std - std_a) / std_a < 1e-3
+    qs = [0.05, 0.25, 0.5, 0.75, 0.95]
+    want = an.final_value_quantiles(0.5, 10 / 12, t, 1000.0, qs)
+    got_map = res.quantiles(qs)
+    got = np.asarray([got_map[q] for q in qs])
+    np.testing.assert_allclose(got, want, rtol=1e-3)
+
+
+def test_oracle_rejects_depletable_market():
+    with pytest.raises(ValueError, match="non-negligible"):
+        an.log_growth_pdf_grid(0.0, 20.0)

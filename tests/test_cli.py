@@ -92,7 +92,9 @@ def test_benchmark_google_and_compare(tmp_path, monkeypatch, capsys):
         tmp_path, monkeypatch, capsys,
     )
     data = json.loads((tmp_path / "a.json").read_text())
-    assert data["benchmarks"][0]["repetitions"] == 2
+    iters = [b for b in data["benchmarks"]
+             if b.get("run_type") == "iteration"]
+    assert len(iters) == 2
     _, out = _run(["benchmark-compare", "a.json", "a.json"],
                   tmp_path, monkeypatch, capsys)
     assert "1.00x" in out

@@ -22,7 +22,8 @@ pytestmark = pytest.mark.skipif(
 def _opts(**kw):
     from stock_market_monte_carlo_tpu.config import EngineOptions
 
-    return EngineOptions(chunk_paths=2**21, **kw)
+    kw.setdefault("chunk_paths", 2**21)
+    return EngineOptions(**kw)
 
 
 def test_gaussian_pallas_analytic_moments():
@@ -124,3 +125,60 @@ def test_pallas_chunk_invariance_tpu():
         options=_opts().__class__(chunk_paths=2**16),
     )
     np.testing.assert_array_equal(a, b)
+
+
+def test_pallas_meets_1e3_bar_against_oracle():
+    """BASELINE.md's north-star tolerance demonstrated directly: both TPU
+    samplers within 1e-3 of the independent FFT-convolution oracle
+    (ops/analytic.py) on mean/std/quantiles at 2^24 paths."""
+    import numpy as np
+
+    import stock_market_monte_carlo_tpu as smmc
+    from stock_market_monte_carlo_tpu.ops import analytic as an
+
+    n, t = 2**24, 360
+    qs = [0.05, 0.25, 0.5, 0.75, 0.95]
+    mean_a, std_a = an.final_value_moments(0.5, 10 / 12, t, 1000.0)
+    want_q = an.final_value_quantiles(0.5, 10 / 12, t, 1000.0, qs)
+    for sampler in ("icdf", "clt"):
+        res = smmc.simulate_stats(
+            smmc.GaussianReturns(), n, t, seed=17,
+            options=_opts(gaussian_sampler=sampler, chunk_paths=2**24),
+        )
+        assert abs(res.mean - mean_a) / mean_a < 1e-3, sampler
+        assert abs(res.std - std_a) / std_a < 1e-3, sampler
+        got_map = res.quantiles(qs)
+        got = np.asarray([got_map[q] for q in qs])
+        np.testing.assert_allclose(got, want_q, rtol=1e-3,
+                                   err_msg=sampler)
+
+
+def test_clt_prefix_strategy_kernel_exact():
+    """The lane-prefix CLT strategy kernel (sampler='clt-prefix') matches
+    the exact ICDF kernel's distribution and withdrawn totals."""
+    import numpy as np
+
+    import stock_market_monte_carlo_tpu as smmc
+    from stock_market_monte_carlo_tpu.models.strategies import (
+        FixedPercentWithdrawal,
+    )
+
+    n, t = 2**22, 360
+    strat = FixedPercentWithdrawal(0.25)
+    a = smmc.simulate_stats(smmc.GaussianReturns(), n, t, seed=3,
+                            strategy=strat, options=_opts())
+    b = smmc.simulate_stats(
+        smmc.GaussianReturns(), n, t, seed=3, strategy=strat,
+        options=_opts(gaussian_sampler="clt-prefix"),
+    )
+    se = a.std / np.sqrt(n)
+    assert abs(a.mean - b.mean) < 5 * se
+    assert abs(a.std - b.std) / a.std < 3e-3
+    wd_a = a.moments.total_withdrawn
+    wd_b = b.moments.total_withdrawn
+    assert abs(wd_a - wd_b) / wd_a < 2e-3
+    # withdrawn per path has a closed form under constant keep:
+    # E[wd] = v0 * m1 * (1-k) * ((k*m1)^T - 1) / (k*m1 - 1)
+    k, m1 = 1 - 0.25 / 100, 1.005
+    ewd = 1000.0 * m1 * (1 - k) * ((k * m1) ** t - 1) / (k * m1 - 1)
+    assert abs(wd_b / n - ewd) / ewd < 5e-3
