@@ -230,6 +230,29 @@ def visualize(args):
     )
 
 
+def visualize_bands(args):
+    """Percentile bands over the horizon for any path count — the keepdata
+    GUI fan (visualize_returns_cpu.cpp:372-382) at O(T) host transfer."""
+    import stock_market_monte_carlo_tpu as smmc
+    from stock_market_monte_carlo_tpu.engine.progress import TerminalProgress
+    from stock_market_monte_carlo_tpu.viz.plots import band_chart
+
+    if args.model == "historical":
+        model = smmc.HistoricalBootstrap.from_csv()
+    else:
+        model = smmc.GaussianReturns()
+    bands = smmc.simulate_bands(
+        model, args.n_simulations, args.n_months,
+        seed=args.seed, sample_paths=args.curves,
+        progress=TerminalProgress(),
+    )
+    for q, row in zip(bands.quantile_levels, bands.values):
+        print(f"p{int(q * 100):02d} final: {row[-1]:,.2f}")
+    band_chart(bands, target=args.target,
+               save=args.save or "visualize_bands.png",
+               title=f"{args.model} MC bands")
+
+
 def visualize_rng(args):
     from stock_market_monte_carlo_tpu.viz.plots import rng_histograms
 

@@ -148,6 +148,21 @@ def main(argv=None):
     p.set_defaults(fn=c.visualize)
 
     p = sub.add_parser(
+        "visualize-bands",
+        help="device-side percentile bands over the horizon for any path "
+             "count (keepdata fan at O(T) transfer)",
+    )
+    p.add_argument("n_months", type=int)
+    p.add_argument("n_simulations", type=int)
+    p.add_argument("--model", choices=["historical", "gaussian"],
+                   default="historical")
+    p.add_argument("--target", type=float, default=None)
+    p.add_argument("--seed", type=int, default=0)
+    p.add_argument("--curves", type=int, default=20)
+    p.add_argument("--save", type=str, default=None)
+    p.set_defaults(fn=c.visualize_bands)
+
+    p = sub.add_parser(
         "visualize-rng",
         help="PRNG uniformity histograms (ref: visualize_rng)",
     )

@@ -280,3 +280,48 @@ def distribution_curves(mean: float = 0.0, std: float = 1.0,
     if show:
         plt.show()
     plt.close("all")
+
+
+def band_chart(bands, target: Optional[float] = None,
+               save: Optional[str] = None,
+               title: str = "Monte Carlo percentile bands",
+               show: bool = False):
+    """Percentile-band plot from a TrajectoryBands result — the
+    store-everything GUI fan (visualize_returns_cpu.cpp:372-382) for path
+    counts where materializing trajectories is impossible; the bands are
+    computed on device (engine/bands.py) and only O(T) crosses the host."""
+    plt = _plt()
+    fig, ax = plt.subplots(figsize=(12, 7))
+    months = bands.months
+    levels = list(bands.quantile_levels)
+    # shade symmetric band pairs, line for the median
+    pairs = []
+    rest = sorted(levels)
+    while len(rest) >= 2:
+        lo, hi = rest[0], rest[-1]
+        pairs.append((lo, hi))
+        rest = rest[1:-1]
+    for i, (lo, hi) in enumerate(pairs):
+        ax.fill_between(
+            months, bands.band(lo), bands.band(hi),
+            alpha=0.18 + 0.1 * i, color="C0",
+            label=f"p{int(lo * 100):02d}-p{int(hi * 100):02d}",
+        )
+    for q in rest:
+        ax.plot(months, bands.band(q), color="C0", lw=2,
+                label=f"p{int(q * 100):02d}")
+    for row in bands.sample_paths[:20]:
+        ax.plot(months, row, lw=0.5, alpha=0.5, color="C1")
+    if target is not None:
+        ax.axhline(target, color="r", ls="--", lw=1, label="target")
+    ax.set_xlabel("month")
+    ax.set_ylabel("fund value")
+    ax.set_title(f"{title} ({bands.n_paths:,} paths)")
+    ax.legend(loc="upper left")
+    fig.tight_layout()
+    if save:
+        fig.savefig(save)
+        print(f"saved {save}")
+    if show:  # pragma: no cover
+        plt.show()
+    plt.close(fig)

@@ -74,3 +74,12 @@ def test_bands_progress_callback():
         progress=lambda d, t: calls.append((d, t)),
     )
     assert calls[-1][0] == 2 * KEY_TILE
+
+
+def test_visualize_bands_cli(tmp_path, monkeypatch):
+    from stock_market_monte_carlo_tpu.cli.main import main
+
+    monkeypatch.chdir(tmp_path)
+    main(["visualize-bands", "12", "20000", "--model", "gaussian",
+          "--target", "1100", "--save", "b.png"])
+    assert (tmp_path / "b.png").exists()
