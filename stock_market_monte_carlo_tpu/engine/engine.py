@@ -451,13 +451,22 @@ class StreamUpdate:
     def prob_below(self, amount: float) -> float:
         """P(final < amount) over the paths done so far, from the exact
         histogram — the recompute-on-slider-change query
-        (visualize_returns_cpu.cpp:340-356)."""
+        (visualize_returns_cpu.cpp:340-356). Exact at bin edges; within a
+        bin, log-linear interpolation. Amounts beyond the bracketed range
+        count the under/overflow bins whole (their exact split is not
+        recoverable from a histogram)."""
         if self.done == 0:
             return 0.0
         edges = self.spec.edges()
         counts = self.hist
+        if amount <= edges[0]:
+            return 0.0 if amount <= 0 else float(
+                counts[0] * min(amount / edges[0], 1.0)
+            ) / self.done
         below = counts[0]
         interior = counts[1:-1]
+        if amount >= edges[-1]:
+            return float(below + interior.sum() + counts[-1]) / self.done
         full = edges[1:] <= amount
         below += interior[full].sum()
         b = int(np.searchsorted(edges, amount) - 1)

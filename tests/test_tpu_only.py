@@ -182,3 +182,30 @@ def test_clt_prefix_strategy_kernel_exact():
     k, m1 = 1 - 0.25 / 100, 1.005
     ewd = 1000.0 * m1 * (1 - k) * ((k * m1) ** t - 1) / (k * m1 - 1)
     assert abs(wd_b / n - ewd) / ewd < 5e-3
+
+
+def test_historical_strategy_pallas_matches_xla_stats(historical_table):
+    """Sliced-rotation bootstrap composed with a withdrawal strategy:
+    the Pallas kernel's statistics must match the XLA engine's (different
+    bit streams, same distribution)."""
+    import jax.numpy as jnp
+    import numpy as np
+
+    import stock_market_monte_carlo_tpu as smmc
+    from stock_market_monte_carlo_tpu.models.strategies import (
+        FixedPercentWithdrawal,
+    )
+
+    m = smmc.HistoricalBootstrap(jnp.asarray(historical_table))
+    strat = FixedPercentWithdrawal(0.5)
+    n, t = 2**21, 120
+    a = smmc.simulate_stats(m, n, t, seed=5, strategy=strat,
+                            options=_opts())
+    b = smmc.simulate_stats(m, n, t, seed=5, strategy=strat,
+                            options=_opts(backend="xla"))
+    se = b.std / np.sqrt(n)
+    assert abs(a.mean - b.mean) < 5 * se
+    assert abs(a.std - b.std) / b.std < 0.01
+    wd_a = a.moments.total_withdrawn
+    wd_b = b.moments.total_withdrawn
+    assert abs(wd_a - wd_b) / wd_b < 0.01

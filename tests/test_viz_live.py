@@ -91,3 +91,23 @@ def test_unicode_histogram_shapes():
     assert unicode_histogram(np.zeros(10)) .strip() == ""
     s = unicode_histogram(np.asarray([1.0, 100.0, 1.0]), width=3)
     assert s[1] == "█"
+
+
+def test_prob_below_tail_amounts():
+    """Amounts beyond the histogram range: overflow/underflow bins count
+    whole; never a KeyError or >1/negative probability."""
+    updates = []
+    res = smmc.simulate_stats(
+        GAUSS, KEY_TILE, 12, seed=8,
+        options=EngineOptions(chunk_paths=KEY_TILE),
+        stream=updates.append, keep_final_values=True,
+    )
+    u = updates[-1]
+    lo, hi = res.histogram_spec.lo, res.histogram_spec.hi
+    assert u.prob_below(hi * 10) == 1.0
+    assert u.prob_below(lo / 10) == 0.0
+    for amt in (lo * 1.01, hi * 0.99, 1000.0, 1234.5):
+        p = u.prob_below(amt)
+        exact = (res.final_values < amt).mean()
+        assert 0.0 <= p <= 1.0
+        assert abs(p - exact) < 5e-3, amt
