@@ -411,7 +411,9 @@ def _clt_qmatrix(k: int):
     with colscale = 2^-16 * sqrt(12)/||q_j|| and
     colshift = 0.5 * sqrt(12) * colsum(Q)_j/||q_j||. All constants use the
     f64 column sums/norms of the bf16-rounded Q, so mean and variance stay
-    exact.
+    exact. (Feeding the raw signed words with no shift — u-1/2 = w*2^-32
+    exactly — measured SLOWER, 0.39 s vs 0.36 s: the full-range
+    int32->bf16 convert costs more than shift + narrow convert.)
     """
     import ml_dtypes
 
@@ -466,7 +468,7 @@ def _build_clt_kernel(n_periods: int, n_hist_total: int,
         def draw_mix(j):
             # one full-tile draw + one full-tile matmul per block (a
             # row-half split to encourage VPU/MXU overlap measured SLOWER:
-            # 0.375 s vs 0.357 s — Mosaic schedules the big ops better)
+            # 0.375 s vs 0.357 s — Mosaic schedules the big ops better).
             bits = pltpu.prng_random_bits((P, K))
             cnt = jax.lax.shift_right_logical(bits, 16)
             zraw = jax.lax.dot_general(
