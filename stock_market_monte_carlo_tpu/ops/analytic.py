@@ -31,9 +31,9 @@ import numpy as np
 
 def log_growth_pdf_grid(mean_pct: float, std_pct: float,
                         n_grid: int = 1 << 15,
-                        z_span: float = 14.0) -> Tuple[np.ndarray, float]:
-    """(pdf, dy): single-month log-growth density on a uniform y-grid
-    centered to cover +/- z_span sigmas."""
+                        z_span: float = 14.0):
+    """(y, pdf, dy): single-month log-growth density on a uniform y-grid
+    covering +/- z_span sigmas of the underlying normal."""
     a = 1.0 + mean_pct / 100.0
     b = std_pct / 100.0
     if a - z_span * b <= 0:
@@ -54,8 +54,7 @@ def log_growth_pdf_grid(mean_pct: float, std_pct: float,
 
 def final_value_distribution(mean_pct: float, std_pct: float,
                              n_periods: int, initial_capital: float,
-                             n_grid: int = 1 << 15,
-                             ):
+                             n_grid: int = 1 << 15):
     """(values, cdf): exact distribution of V_T on a log grid.
 
     The T-fold convolution runs as ifft(fft(p)^T) on a grid padded so the

@@ -301,7 +301,6 @@ def sobol_points_f64_host(dims: int, offset: int, n: int) -> np.ndarray:
     the analytic-depth parity surface for the reference's i8_sobol f64
     output (include/sobol/sobol.cpp:14191). Device paths use f32."""
     v = direction_numbers_u64(dims)
-    out = np.empty((n, dims))
     idx = np.arange(offset, offset + n, dtype=np.uint64)
     gray = idx ^ (idx >> np.uint64(1))
     acc = np.zeros((n, dims), np.uint64)
