@@ -108,9 +108,11 @@ class HistoricalBootstrap:
         )
 
     def sample_returns_pct(self, key: jax.Array, shape) -> jax.Array:
+        from stock_market_monte_carlo_tpu.ops.lookup import table_lookup
+
         table = jnp.asarray(self.returns_pct, jnp.float32)
         idx = jax.random.randint(key, shape, 0, table.shape[0])
-        return table[idx]
+        return table_lookup(table, idx)
 
     def sample_returns_pct_reference(self, path_offset, shape) -> jax.Array:
         """Reference-recipe draws for global paths
@@ -123,7 +125,9 @@ class HistoricalBootstrap:
                 + jnp.arange(b, dtype=jnp.uint32))
         bits = rng_ops.xorshift_stream(gids + jnp.uint32(1), t)
         idx = rng_ops.bootstrap_index_exact(bits, table.shape[0])
-        return table[idx]
+        from stock_market_monte_carlo_tpu.ops.lookup import table_lookup
+
+        return table_lookup(table, idx)
 
 
 def _sobol_uniforms(direction, path_offset, shape, scramble_key,
@@ -230,12 +234,14 @@ class SobolHistoricalBootstrap:
         )
 
     def sample_returns_pct_quasi(self, scramble_key, path_offset, shape):
+        from stock_market_monte_carlo_tpu.ops.lookup import table_lookup
+
         table = jnp.asarray(self.returns_pct, jnp.float32)
         u = _sobol_uniforms(self.direction, path_offset, shape,
                             scramble_key, self.index_offset)
         n = table.shape[0]
         idx = jnp.minimum((u * n).astype(jnp.int32), n - 1)
-        return table[idx]
+        return table_lookup(table, idx)
 
 
 MarketModel = Union[
