@@ -24,13 +24,14 @@ a/b ~ 120), so log-growth is well-defined.
 
 from __future__ import annotations
 
+from functools import lru_cache
 from typing import Sequence, Tuple
 
 import numpy as np
 
 
 def log_growth_pdf_grid(mean_pct: float, std_pct: float,
-                        n_grid: int = 1 << 15,
+                        n_grid: int = 1 << 14,
                         z_span: float = 14.0):
     """(y, pdf, dy): single-month log-growth density on a uniform y-grid
     covering +/- z_span sigmas of the underlying normal."""
@@ -52,13 +53,16 @@ def log_growth_pdf_grid(mean_pct: float, std_pct: float,
     return y, pdf, dy
 
 
+@lru_cache(maxsize=16)
 def final_value_distribution(mean_pct: float, std_pct: float,
                              n_periods: int, initial_capital: float,
-                             n_grid: int = 1 << 15):
+                             n_grid: int = 1 << 14):
     """(values, cdf): exact distribution of V_T on a log grid.
 
     The T-fold convolution runs as ifft(fft(p)^T) on a grid padded so the
-    full T-month support fits without wraparound.
+    full T-month support fits without wraparound. Results are cached per
+    parameter tuple (the grid-convergence test shows 2^14 vs 2^15 grids
+    agree to <3e-5, far below the 1e-3 bar this oracle serves).
     """
     y, pdf, dy = log_growth_pdf_grid(mean_pct, std_pct, n_grid)
     t = n_periods

@@ -123,29 +123,70 @@ class LiveDashboard:
         return lines
 
 
+_QUERY_HELP = (
+    "commands: <amount> -> P(final < amount) | q <p> -> quantile "
+    "(e.g. q 0.95) | hist -> histogram | stats -> summary | quit"
+)
+
+
 def query_loop(update, inp=None, out=None) -> None:
-    """Interactive target re-query — the reference's recompute-on-change
-    slider (visualize_returns_cpu.cpp:340-356) as a prompt. Type an amount
-    for P(final < amount); 'q' to quit."""
+    """Interactive result exploration — the reference GUI's sliders
+    (target recompute visualize_returns_cpu.cpp:340-356, histogram toggle
+    visualize_returns_gpu.cpp:344-357) as a prompt over the exact
+    retained statistics; every answer is recomputed from the on-device
+    histogram, no re-simulation."""
     inp = inp if inp is not None else sys.stdin
     out = out if out is not None else sys.stdout
-    out.write("target amount ('q' quits)> ")
+    out.write(_QUERY_HELP + "\n> ")
     out.flush()
     for line in inp:
-        s = line.strip()
-        if s.lower() in ("q", "quit", "exit", ""):
+        s = line.strip().lower()
+        if s in ("q", "quit", "exit", ""):
             break
-        try:
-            amount = float(s)
-        except ValueError:
-            out.write(f"not a number: {s!r}\n")
-        else:
-            p = update.prob_below(amount)
+        if s in ("h", "help", "?"):
+            out.write(_QUERY_HELP + "\n")
+        elif s == "hist":
+            interior = update.hist[1:-1]
+            nz = np.nonzero(interior)[0]
+            if nz.size:
+                edges = update.spec.edges()
+                lo_b, hi_b = int(nz[0]), int(nz[-1]) + 1
+                out.write(
+                    f"{unicode_histogram(interior[lo_b:hi_b])}  "
+                    f"[{edges[lo_b]:,.0f} .. {edges[hi_b]:,.0f}]\n"
+                )
+            else:
+                out.write("(empty histogram)\n")
+        elif s == "stats":
+            m = update.moments
             out.write(
-                f"P(final < {amount:,.2f}) = {100 * p:.4f}%"
-                f"  (~{int(round(p * update.done)):,} of {update.done:,})\n"
+                f"n {update.done:,}  mean {m.mean:,.2f}  std {m.std:,.2f}"
+                f"  min {m.min:,.2f}  max {m.max:,.2f}"
+                f"  skew {m.skew:.3f}  kurt {m.kurtosis:.3f}\n"
             )
-        out.write("target amount ('q' quits)> ")
+        elif s.startswith("q "):
+            try:
+                p = float(s[2:])
+                if not 0.0 < p < 1.0:
+                    raise ValueError
+            except ValueError:
+                out.write(f"quantile must be in (0,1): {s[2:]!r}\n")
+            else:
+                v = update.quantiles([p])[0]
+                out.write(f"p{100 * p:g} = {v:,.2f}\n")
+        else:
+            try:
+                amount = float(s)
+            except ValueError:
+                out.write(f"not a number: {s!r}\n")
+            else:
+                p = update.prob_below(amount)
+                out.write(
+                    f"P(final < {amount:,.2f}) = {100 * p:.4f}%  "
+                    f"(~{int(round(p * update.done)):,} of "
+                    f"{update.done:,})\n"
+                )
+        out.write("> ")
         out.flush()
     out.write("\n")
 

@@ -80,10 +80,18 @@ def test_query_loop_recomputes_targets():
         stream=updates.append,
     )
     out = io.StringIO()
-    query_loop(updates[-1], inp=io.StringIO("1e12\nnotanum\nq\n"), out=out)
+    query_loop(
+        updates[-1],
+        inp=io.StringIO("1e12\nnotanum\nq 0.5\nq 7\nhist\nstats\nquit\n"),
+        out=out,
+    )
     text = out.getvalue()
     assert "P(final < 1,000,000,000,000.00) = 100.0000%" in text
     assert "not a number" in text
+    assert "p50 = " in text
+    assert "quantile must be in (0,1)" in text
+    assert "skew" in text          # stats command
+    assert "\u2588" in text or "█" in text   # hist command rendered blocks
 
 
 def test_unicode_histogram_shapes():
