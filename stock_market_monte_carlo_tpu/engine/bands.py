@@ -122,7 +122,7 @@ def simulate_bands(
     """
     from stock_market_monte_carlo_tpu.engine import engine as eng
 
-    eng._validate_n_paths(model, n_paths, options.chunk_paths)
+    eng._validate_run(model, n_paths, options.chunk_paths, n_periods)
     mu_l, sigma_l = eng.log_growth_moments(model)
     months = np.arange(n_periods + 1)
     linear = not eng._is_multiplicative(strategy)

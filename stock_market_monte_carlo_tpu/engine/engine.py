@@ -375,12 +375,15 @@ def _effective_sampler(model, strategy, backend: str,
     return "icdf"
 
 
-def _validate_n_paths(model, n_paths: int, per_dispatch: int) -> None:
+def _validate_run(model, n_paths: int, per_dispatch: int,
+                  n_periods: int) -> None:
     """Hard limits of the RNG index spaces — oversized runs must error, not
     silently wrap (global path offsets are uint32; the Sobol sequence index
     is 32-bit: ops/sobol.py)."""
     if n_paths <= 0:
         raise ValueError(f"n_paths must be positive, got {n_paths}")
+    if n_periods <= 0:
+        raise ValueError(f"n_periods must be positive, got {n_periods}")
     if n_paths > (1 << 32) - per_dispatch:
         raise ValueError(
             f"n_paths={n_paths} exceeds the uint32 global-path-offset space "
@@ -509,6 +512,10 @@ def simulate_stats(
     """
     t_start = time.perf_counter()
     backend = resolve_backend(options)
+    n_dev = 1 if mesh is None else mesh.size
+    # chunk_b below never exceeds options.chunk_paths, so this bound is
+    # conservative for the uint32 offset-headroom check
+    _validate_run(model, n_paths, options.chunk_paths * n_dev, n_periods)
     keep_finals = (options.keep_final_values
                    if keep_final_values is None else keep_final_values)
     spec = make_histogram_spec(
@@ -520,9 +527,7 @@ def simulate_stats(
     else:
         chunk_b = _xla_chunk_paths(n_periods, options)
 
-    n_dev = 1 if mesh is None else mesh.size
     per_dispatch = chunk_b * n_dev
-    _validate_n_paths(model, n_paths, per_dispatch)
 
     root_key = jax.random.key(seed)
     scramble_key = jax.random.fold_in(root_key, 0x50B0)

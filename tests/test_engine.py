@@ -275,3 +275,10 @@ def test_full_withdrawal_histogram_underflow_bin():
     )
     assert res.histogram_counts[0] == 20_000
     assert res.histogram_counts.sum() == 20_000
+
+
+def test_nonpositive_n_periods_rejected():
+    with pytest.raises(ValueError, match="n_periods"):
+        smmc.simulate_stats(GAUSS, eng.KEY_TILE, 0)
+    with pytest.raises(ValueError, match="n_periods"):
+        smmc.simulate_bands(GAUSS, eng.KEY_TILE, -3)
