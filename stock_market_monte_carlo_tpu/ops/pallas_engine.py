@@ -295,7 +295,7 @@ def _build_kernel(kind: str, strategy_kind: str, n_periods: int,
         # current month's arithmetic (~15% measured on the CLT kernel).
         # Months beyond the horizon are masked out of both value and
         # withdrawal state.
-        UNROLL = 8
+        UNROLL = 8  # 16 measured slower for the sliced historical kernel (0.585 vs 0.545 s)
         n_iters = -(-n_periods // UNROLL)
 
         def guarded_step(t, total, wsum, gfac):
