@@ -28,18 +28,22 @@ def main():
     n_paths = int(sys.argv[1]) if len(sys.argv) > 1 else 100_000_000
     n_periods = int(sys.argv[2]) if len(sys.argv) > 2 else 360
 
-    def timed(model, sampler="icdf"):
+    def timed(model, sampler="icdf", reps=2):
         opts = EngineOptions(chunk_paths=2**24, gaussian_sampler=sampler)
         # warmup compiles the single chunk shape (the engine pads the
         # ragged tail rather than switching shapes)
         smmc.simulate_stats(model, 2**24, n_periods, seed=1,
                             target_amount=2000.0, options=opts)
-        t0 = time.perf_counter()
-        res = smmc.simulate_stats(
-            model, n_paths, n_periods, seed=7, target_amount=2000.0,
-            options=opts,
-        )
-        return time.perf_counter() - t0, res
+        best, res = None, None
+        for _ in range(reps):  # min-of-N absorbs tunnel jitter (~10%)
+            t0 = time.perf_counter()
+            res = smmc.simulate_stats(
+                model, n_paths, n_periods, seed=7, target_amount=2000.0,
+                options=opts,
+            )
+            dt = time.perf_counter() - t0
+            best = dt if best is None else min(best, dt)
+        return best, res
 
     hist_model = smmc.HistoricalBootstrap.from_csv()
     t_hist, res_hist = timed(hist_model)
