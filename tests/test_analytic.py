@@ -81,3 +81,25 @@ def test_engine_meets_1e3_bar_against_oracle():
 def test_oracle_rejects_depletable_market():
     with pytest.raises(ValueError, match="non-negligible"):
         an.log_growth_pdf_grid(0.0, 20.0)
+
+
+def test_engine_ks_statistic_vs_oracle_cdf():
+    """Kolmogorov-Smirnov: the empirical CDF of engine finals vs the
+    oracle's exact CDF. D_n must be inside the 1% critical band
+    c(0.01)/sqrt(n) = 1.63/sqrt(n) — a whole-distribution check, stronger
+    than moment/quantile spot checks."""
+    n, t = 1 << 18, 60
+    res = smmc.simulate_stats(smmc.GaussianReturns(), n, t, seed=21,
+                              keep_final_values=True)
+    finals = np.sort(res.final_values.astype(np.float64))
+    values, cdf = an.final_value_distribution(0.5, 10 / 12, t, 1000.0)
+    # oracle CDF evaluated at each sorted final (right-continuous step)
+    pos = np.searchsorted(values, finals, side="right") - 1
+    pos = np.clip(pos, 0, len(cdf) - 1)
+    f_oracle = cdf[pos]
+    ecdf_hi = np.arange(1, n + 1) / n
+    ecdf_lo = np.arange(0, n) / n
+    d = max(np.max(np.abs(ecdf_hi - f_oracle)),
+            np.max(np.abs(f_oracle - ecdf_lo)))
+    crit = 1.63 / np.sqrt(n)   # alpha = 0.01
+    assert d < crit, (d, crit)
