@@ -209,3 +209,30 @@ def test_historical_strategy_pallas_matches_xla_stats(historical_table):
     wd_a = a.moments.total_withdrawn
     wd_b = b.moments.total_withdrawn
     assert abs(wd_a - wd_b) / wd_b < 0.01
+
+
+def test_clt_ks_statistic_vs_oracle_cdf():
+    """Whole-distribution check of the CLT sampler on hardware: KS
+    statistic of its empirical finals CDF against the exact
+    FFT-convolution oracle, inside the 1% critical band."""
+    import numpy as np
+
+    import stock_market_monte_carlo_tpu as smmc
+    from stock_market_monte_carlo_tpu.ops import analytic as an
+
+    n, t = 1 << 18, 120
+    res = smmc.simulate_stats(
+        smmc.GaussianReturns(), n, t, seed=23,
+        options=_opts(gaussian_sampler="clt", chunk_paths=1 << 18),
+        keep_final_values=True,
+    )
+    finals = np.sort(res.final_values.astype(np.float64))
+    values, cdf = an.final_value_distribution(0.5, 10 / 12, t, 1000.0)
+    pos = np.clip(np.searchsorted(values, finals, side="right") - 1,
+                  0, len(cdf) - 1)
+    f_oracle = cdf[pos]
+    ecdf_hi = np.arange(1, n + 1) / n
+    ecdf_lo = np.arange(0, n) / n
+    d = max(np.max(np.abs(ecdf_hi - f_oracle)),
+            np.max(np.abs(f_oracle - ecdf_lo)))
+    assert d < 1.63 / np.sqrt(n), d
