@@ -93,7 +93,9 @@ def _load(path) -> Dict[str, dict]:
             rec["samples"].append(float(t))
         if agg == "median" or "real_time_median" in b:
             rec["time"] = float(b.get("real_time_median", t))
-        elif rec["time"] is None and t is not None:
+        elif (agg is None and not is_sample and rec["time"] is None
+                and t is not None):
+            # a plain single entry (no repetitions, no aggregates)
             rec["time"] = float(t)
         if b.get("paths_per_second") is not None:
             rec["paths_per_second"] = b["paths_per_second"]

@@ -150,7 +150,11 @@ def simulate_bands(
         inv_scales_j = jnp.asarray(1.0 / scales, jnp.float32)
     centers_j = jnp.asarray(centers, jnp.float32)
 
-    b = min(eng._xla_chunk_paths(n_periods, options), options.chunk_paths)
+    # cap at 2^24 paths/chunk: per-month counts accumulate in float32 on
+    # the MXU, and month 0 puts EVERY path of a chunk in one bin — counts
+    # past 2^24 would silently stop incrementing
+    b = min(eng._xla_chunk_paths(n_periods, options), options.chunk_paths,
+            1 << 24)
     root_key = jax.random.key(seed)
     scramble_key = jax.random.fold_in(root_key, 0x50B0)
     v0 = jnp.float32(initial_capital)
@@ -173,34 +177,28 @@ def simulate_bands(
             progress(done, n_paths)
 
     # invert the z-grid to fund values per quantile per month (host, O(T))
+    # via the shared histogram-quantile inversion (ops/reductions.py)
+    from stock_market_monte_carlo_tpu.ops import reductions as red
+
     qs = tuple(quantile_levels)
     values = np.empty((len(qs), n_periods + 1))
     if linear:
         z_edges = np.linspace(0.0, 1.0, n_bins + 1)
     else:
         z_edges = np.linspace(-Z_RANGE, Z_RANGE, n_bins + 1)
+    pad = z_edges[1] - z_edges[0]
+    full_edges = np.concatenate(
+        [[z_edges[0] - pad], z_edges, [z_edges[-1] + pad]]
+    )
     for tt in range(n_periods + 1):
-        counts = total[tt]
-        cdf = np.cumsum(counts)
-        tot = cdf[-1]
-        for qi, q in enumerate(qs):
-            rank = q * tot
-            bb = int(np.searchsorted(cdf, rank, side="left"))
-            bb = min(bb, n_bins + 1)
-            if bb == 0:          # depleted mass
-                values[qi, tt] = 0.0
-                continue
-            prev = cdf[bb - 1] if bb > 0 else 0.0
-            inbin = counts[bb]
-            frac = (rank - prev) / inbin if inbin > 0 else 0.5
-            lo = z_edges[bb - 1] if bb - 1 < len(z_edges) else z_edges[-1]
-            hi = (z_edges[bb] if bb < len(z_edges)
-                  else z_edges[-1] + (z_edges[1] - z_edges[0]))
-            z = lo + frac * (hi - lo)
-            if linear:
-                values[qi, tt] = z * scales[tt]
-            else:
-                values[qi, tt] = np.exp(centers[tt] + z * scales[tt])
+        zq = red.grid_quantiles(total[tt], full_edges, qs)
+        depleted = zq < z_edges[0]   # rank fell in the underflow bin
+        if linear:
+            v = zq * scales[tt]
+        else:
+            v = np.exp(centers[tt] + zq * scales[tt])
+        v[depleted] = 0.0
+        values[:, tt] = v
 
     k = min(sample_paths, n_paths)
     sample = np.asarray(eng.simulate_paths(

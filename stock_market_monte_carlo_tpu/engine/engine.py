@@ -270,12 +270,13 @@ _CHUNK_FN_CACHE = {}
 def _get_chunk_fn(model_kind, strategy_kind, n_periods, chunk_b, spec,
                   keep_finals, mesh: Optional[Mesh], backend: str,
                   sampler: str = "icdf"):
-    # Key the mesh by contents (axis names + device ids), not identity:
-    # id() of a garbage-collected Mesh can be reused by CPython, which
-    # would hand back a compiled fn bound to a dead mesh.
+    # Key the mesh by contents (axis names + shape + device ids), not
+    # identity: id() of a garbage-collected Mesh can be reused by CPython,
+    # which would hand back a compiled fn bound to a dead mesh.
     mesh_key = (
         None if mesh is None
-        else (mesh.axis_names, tuple(d.id for d in mesh.devices.flat))
+        else (mesh.axis_names, mesh.devices.shape,
+              tuple(d.id for d in mesh.devices.flat))
     )
     cache_key = (
         model_kind, strategy_kind, n_periods, chunk_b, spec, keep_finals,
@@ -454,31 +455,11 @@ class StreamUpdate:
     def prob_below(self, amount: float) -> float:
         """P(final < amount) over the paths done so far, from the exact
         histogram — the recompute-on-slider-change query
-        (visualize_returns_cpu.cpp:340-356). Exact at bin edges; within a
-        bin, log-linear interpolation. Amounts beyond the bracketed range
-        count the under/overflow bins whole (their exact split is not
-        recoverable from a histogram)."""
+        (visualize_returns_cpu.cpp:340-356). Same CDF semantics as
+        SimulationResult.prob_below_amount (one shared implementation)."""
         if self.done == 0:
             return 0.0
-        edges = self.spec.edges()
-        counts = self.hist
-        if amount <= edges[0]:
-            return 0.0 if amount <= 0 else float(
-                counts[0] * min(amount / edges[0], 1.0)
-            ) / self.done
-        below = counts[0]
-        interior = counts[1:-1]
-        if amount >= edges[-1]:
-            return float(below + interior.sum() + counts[-1]) / self.done
-        full = edges[1:] <= amount
-        below += interior[full].sum()
-        b = int(np.searchsorted(edges, amount) - 1)
-        if 0 <= b < len(interior) and not (b < len(full) and full[b]):
-            lo, hi = edges[b], edges[b + 1]
-            frac = (np.log(max(amount, 1e-300)) - np.log(lo)) / (
-                np.log(hi) - np.log(lo))
-            below += interior[b] * min(max(frac, 0.0), 1.0)
-        return float(below) / self.done
+        return red.prob_below_from_histogram(self.spec, self.hist, amount)
 
 
 def simulate_stats(

@@ -64,23 +64,13 @@ class SimulationResult:
             return float((self.final_values < amount).mean())
         if self.histogram_counts is None:
             raise ValueError("no histogram or finals available")
-        spec = self.histogram_spec
-        counts = np.asarray(self.histogram_counts, np.float64)
-        total = counts.sum()
-        if amount <= 0 or total == 0:
-            return 0.0
-        loga = np.log(amount)
-        if loga <= spec.log_lo:
-            # the underflow bin holds everything below lo (incl. depleted
-            # funds); thresholds inside it attribute the whole bin
-            return float(counts[0] / total)
-        pos = (loga - spec.log_lo) / spec.width
-        b = int(np.floor(pos))
-        if b >= spec.n_bins:
-            return float(counts[: spec.n_bins + 1].sum() / total)
-        frac = pos - b
-        below = counts[0] + counts[1:1 + b].sum() + frac * counts[1 + b]
-        return float(below / total)
+        from stock_market_monte_carlo_tpu.ops.reductions import (
+            prob_below_from_histogram,
+        )
+
+        return prob_below_from_histogram(
+            self.histogram_spec, self.histogram_counts, amount
+        )
 
     def quantiles(self, qs=DEFAULT_QUANTILES) -> Dict[float, float]:
         """Quantiles — exact from final values when kept, else interpolated

@@ -37,7 +37,11 @@ def _lib():
                 _configure(lib)
                 _LIB = lib
                 break
-            except OSError:
+            except (OSError, AttributeError):
+                # AttributeError: a stale library missing newer symbols
+                # (e.g. a pre-64-bit-Sobol build) — fall back to the next
+                # candidate / pure Python rather than breaking every
+                # native entry point
                 continue
     return _LIB
 

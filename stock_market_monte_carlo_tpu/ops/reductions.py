@@ -188,6 +188,60 @@ class HistogramSpec:
         )
 
 
+def prob_below_from_histogram(spec: HistogramSpec, counts: np.ndarray,
+                              amount: float) -> float:
+    """P(value < amount) from histogram counts — THE shared implementation
+    behind SimulationResult.prob_below_amount and StreamUpdate.prob_below
+    (one CDF semantics everywhere). Exact at bin edges; log-linear inside
+    a bin. Thresholds at or below lo attribute the whole underflow bin;
+    thresholds at or above hi attribute everything including the overflow
+    bin (the split inside the open-ended bins is not recoverable from a
+    histogram)."""
+    counts = np.asarray(counts, np.float64)
+    total = counts.sum()
+    if amount <= 0 or total == 0:
+        return 0.0
+    loga = np.log(amount)
+    if loga <= spec.log_lo:
+        return float(counts[0] / total)
+    if loga >= spec.log_hi:
+        return 1.0
+    pos = (loga - spec.log_lo) / spec.width
+    b = int(np.floor(pos))
+    b = min(b, spec.n_bins - 1)
+    frac = pos - b
+    below = counts[0] + counts[1:1 + b].sum() + frac * counts[1 + b]
+    return float(below / total)
+
+
+def grid_quantiles(counts: np.ndarray, grid_edges: np.ndarray,
+                   qs) -> np.ndarray:
+    """Histogram quantiles on an arbitrary monotone grid — the shared
+    inversion behind quantiles_from_histogram (log grid) and the
+    trajectory-bands z-grids (engine/bands.py).
+
+    ``counts`` has n_bins+2 entries (underflow, interior..., overflow);
+    ``grid_edges`` has n_bins+3 entries bracketing every bin including
+    pseudo-edges for the open-ended under/overflow bins. Intra-bin
+    interpolation is linear in grid space.
+    """
+    counts = np.asarray(counts, np.float64)
+    total = counts.sum()
+    cdf = np.cumsum(counts)
+    n_last = len(counts) - 1
+    out = []
+    for q in np.atleast_1d(qs):
+        rank = q * total
+        b = int(np.searchsorted(cdf, rank, side="left"))
+        b = min(b, n_last)
+        prev = cdf[b - 1] if b > 0 else 0.0
+        inbin = counts[b]
+        frac = (rank - prev) / inbin if inbin > 0 else 0.5
+        out.append(grid_edges[b] + frac * (grid_edges[b + 1]
+                                           - grid_edges[b]))
+    return np.asarray(out)
+
+
 def quantiles_from_histogram(spec: HistogramSpec, counts: np.ndarray,
                              qs) -> np.ndarray:
     """Quantiles with intra-bin linear interpolation in log space.
@@ -196,25 +250,12 @@ def quantiles_from_histogram(spec: HistogramSpec, counts: np.ndarray,
     default 4096 bins over a typical final-value range); use exact
     sort-based quantiles for small runs when bit-accuracy matters.
     """
-    counts = np.asarray(counts, np.float64)
-    total = counts.sum()
-    cdf = np.cumsum(counts)
     log_edges = np.concatenate([
         [spec.log_lo - 1.0],  # pseudo-edge for the underflow bin
         np.linspace(spec.log_lo, spec.log_hi, spec.n_bins + 1),
         [spec.log_hi + 1.0],
     ])
-    out = []
-    for q in np.atleast_1d(qs):
-        rank = q * total
-        b = int(np.searchsorted(cdf, rank, side="left"))
-        b = min(b, spec.n_bins + 1)
-        prev = cdf[b - 1] if b > 0 else 0.0
-        inbin = counts[b]
-        frac = (rank - prev) / inbin if inbin > 0 else 0.5
-        logv = log_edges[b] + frac * (log_edges[b + 1] - log_edges[b])
-        out.append(np.exp(logv))
-    return np.asarray(out)
+    return np.exp(grid_quantiles(counts, log_edges, qs))
 
 
 def exact_quantiles(finals: jax.Array, qs) -> np.ndarray:

@@ -123,6 +123,29 @@ class LiveDashboard:
         return lines
 
 
+class ResultQuery:
+    """Adapter exposing a finished SimulationResult through the interface
+    query_loop expects (done/hist/spec/moments/quantiles/prob_below), so
+    --interactive works with --no-live too."""
+
+    def __init__(self, result):
+        self._res = result
+        self.done = result.n_paths
+        self.hist = np.asarray(result.histogram_counts, np.float64)
+        self.spec = result.histogram_spec
+        self.moments = result.moments
+
+    def quantiles(self, qs):
+        from stock_market_monte_carlo_tpu.ops.reductions import (
+            quantiles_from_histogram,
+        )
+
+        return quantiles_from_histogram(self.spec, self.hist, qs)
+
+    def prob_below(self, amount: float) -> float:
+        return self._res.prob_below_amount(amount)
+
+
 _QUERY_HELP = (
     "commands: <amount> -> P(final < amount) | q <p> -> quantile "
     "(e.g. q 0.95) | hist -> histogram | stats -> summary | quit"
@@ -265,7 +288,9 @@ def live_visualize(n_months: int, n_simulations: int,
     )
     if interactive is None:
         interactive = sys.stdin.isatty()
-    if interactive and dashboard is not None \
-            and dashboard.last_update is not None:
-        query_loop(dashboard.last_update)
+    if interactive:
+        if dashboard is not None and dashboard.last_update is not None:
+            query_loop(dashboard.last_update)
+        else:
+            query_loop(ResultQuery(res))
     return res

@@ -99,3 +99,20 @@ def test_benchmark_google_cli_emits_samples(tmp_path, monkeypatch):
     assert {a["aggregate_name"] for a in aggs} == {
         "mean", "median", "stddev"
     }
+
+
+def test_repetition_files_use_median_not_first_rep(tmp_path):
+    """Regression: files with only per-repetition entries (no aggregates)
+    must report the sample median, not the first repetition."""
+    import numpy as np
+
+    for p, samples in ((tmp_path / "a.json", [9.0, 1.0, 1.1]),
+                       (tmp_path / "b.json", [9.0, 1.0, 1.1])):
+        entries = [
+            {"name": "mc/1/1", "run_type": "iteration",
+             "repetition_index": i, "real_time": t, "time_unit": "s"}
+            for i, t in enumerate(samples)
+        ]
+        p.write_text(json.dumps({"benchmarks": entries}))
+    rows = compare_files(str(tmp_path / "a.json"), str(tmp_path / "b.json"))
+    assert rows[0][1] == pytest.approx(1.1)   # median, not 9.0

@@ -73,3 +73,23 @@ def test_welford_merge_matches_numpy():
     assert merged[0] == both.size
     np.testing.assert_allclose(merged[1], both.mean(), rtol=1e-12)
     np.testing.assert_allclose(merged[2] / both.size, both.var(), rtol=1e-12)
+
+
+def test_stale_library_missing_symbol_falls_back(monkeypatch):
+    """Regression: a library missing newer symbols (AttributeError in
+    _configure) must not break the native module — it falls back."""
+    import importlib
+
+    from stock_market_monte_carlo_tpu import native
+
+    monkeypatch.setattr(native, "_LIB", None)
+    monkeypatch.setattr(native, "_LOAD_ATTEMPTED", False)
+
+    def boom(lib):
+        raise AttributeError("undefined symbol: smmc_sobol_bits64")
+
+    monkeypatch.setattr(native, "_configure", boom)
+    assert native._lib() is None
+    assert native.available() is False
+    assert native.native_read_returns("/nonexistent.csv") is None
+    importlib.reload(native)  # restore real state for other tests

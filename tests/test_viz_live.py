@@ -119,3 +119,34 @@ def test_prob_below_tail_amounts():
         exact = (res.final_values < amt).mean()
         assert 0.0 <= p <= 1.0
         assert abs(p - exact) < 5e-3, amt
+
+
+def test_stream_and_result_prob_below_agree():
+    """One shared histogram-CDF implementation: the live StreamUpdate and
+    the finished SimulationResult answer identically."""
+    updates = []
+    res = smmc.simulate_stats(
+        GAUSS, 2 * KEY_TILE, 36, seed=12,
+        options=EngineOptions(chunk_paths=KEY_TILE), stream=updates.append,
+    )
+    u = updates[-1]
+    for amt in (500.0, 1000.0, 1190.7, 5000.0, 1e12):
+        assert u.prob_below(amt) == res.prob_below_amount(amt), amt
+
+
+def test_no_live_interactive_query(monkeypatch, tmp_path):
+    """--no-live --interactive still opens the query prompt (regression:
+    it was silently skipped without a dashboard)."""
+    import matplotlib
+
+    matplotlib.use("Agg")
+    from stock_market_monte_carlo_tpu.viz.live import live_visualize
+
+    monkeypatch.chdir(tmp_path)
+    monkeypatch.setattr("sys.stdin", io.StringIO("1e12\nquit\n"))
+    out = io.StringIO()
+    monkeypatch.setattr("sys.stdout", out)
+    live_visualize(12, 20000, model_kind="gaussian", target=1100.0,
+                   live=False, interactive=True, save="x.png")
+    text = out.getvalue()
+    assert "P(final < 1,000,000,000,000.00) = 100.0000%" in text
