@@ -28,8 +28,9 @@ def main():
     n_paths = int(sys.argv[1]) if len(sys.argv) > 1 else 100_000_000
     n_periods = int(sys.argv[2]) if len(sys.argv) > 2 else 360
 
-    def timed(model, sampler="icdf", reps=2):
-        opts = EngineOptions(chunk_paths=2**24, gaussian_sampler=sampler)
+    def timed(model, sampler="icdf", reps=2, histogram=True):
+        opts = EngineOptions(chunk_paths=2**24, gaussian_sampler=sampler,
+                             histogram=histogram)
         # warmup compiles the single chunk shape (the engine pads the
         # ragged tail rather than switching shapes)
         smmc.simulate_stats(model, 2**24, n_periods, seed=1,
@@ -47,10 +48,15 @@ def main():
 
     hist_model = smmc.HistoricalBootstrap.from_csv()
     t_hist, res_hist = timed(hist_model)
+    # histogram=False matches the reference reduceBlock's actual contract
+    # (mean/variance only, src/simulations.cu:185-247) — the strict
+    # like-for-like workload
+    t_hist_so, _ = timed(hist_model, histogram=False)
 
     gauss = smmc.GaussianReturns()
     t_icdf, res = timed(gauss)
     t_clt, res_clt = timed(gauss, "clt")
+    t_clt_so, _ = timed(gauss, "clt", histogram=False)
 
     n_chips = max(1, len(jax.devices()))
     hist_rate = n_paths / t_hist / n_chips
@@ -71,8 +77,15 @@ def main():
             "n_paths": n_paths,
             "n_periods": n_periods,
             "elapsed_s_historical": round(t_hist, 4),
+            # stats-only = the reference reduceBlock's exact contract
+            # (mean/var, no histogram/count-below surface beyond target)
+            "elapsed_s_historical_statsonly": round(t_hist_so, 4),
+            "vs_baseline_statsonly_like_for_like": round(
+                (n_paths / t_hist_so / n_chips) / BASELINE_PATHS_PER_S, 4
+            ),
             "elapsed_s_gaussian_icdf": round(t_icdf, 4),
             "elapsed_s_gaussian_clt": round(t_clt, 4),
+            "elapsed_s_gaussian_clt_statsonly": round(t_clt_so, 4),
             "gaussian_paths_per_sec_per_chip": round(gauss_rate, 1),
             "vs_baseline_gaussian_best": round(
                 gauss_rate / BASELINE_PATHS_PER_S, 4

@@ -40,6 +40,13 @@ class EngineOptions:
     # default makes interior + underflow + overflow = 4096 = 64*64, the
     # exact factorization the MXU histogram kernel uses.
     histogram_bins: int = 4094
+    # False skips the final-value histogram entirely — the reference's
+    # reduceBlock benchmark computes ONLY mean/variance
+    # (src/simulations.cu:185-247), so this is the like-for-like mode;
+    # the one-hot binning measures ~30 ms per 2^24-path chunk on one v5e.
+    # SimulationResult.quantiles()/prob_below_amount() then raise unless
+    # keep_final_values captures exact finals.
+    histogram: bool = True
     # When True, compute per-path final values in addition to fused stats
     # (needed for exact quantiles; costs an HBM write of 4 bytes/path).
     keep_final_values: bool = False

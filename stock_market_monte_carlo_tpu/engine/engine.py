@@ -218,7 +218,7 @@ def compound_paths(growth, v0, strategy):
 
 def chunk_stats(model, strategy, root_key, scramble_key, v0, path_offset,
                 valid, target, *, n_periods, chunk_shape_b, spec,
-                keep_finals):
+                keep_finals, with_hist=True):
     """Simulate one chunk and reduce to (packed_stats, histogram[, finals]).
 
     ``valid`` masks padding paths in the final (ragged) chunk — the moral
@@ -248,12 +248,15 @@ def chunk_stats(model, strategy, root_key, scramble_key, v0, path_offset,
         jnp.sum(jnp.where(mask, withdrawn, 0.0)),
     ])
 
-    idx = spec.bin_index(finals)
-    idx = jnp.where(mask, idx, spec.n_bins + 2)  # padding -> discard bin
-    hist = jax.ops.segment_sum(
-        jnp.ones_like(idx, jnp.float32), idx,
-        num_segments=spec.n_bins + 3,
-    )[: spec.n_bins + 2]
+    if with_hist:
+        idx = spec.bin_index(finals)
+        idx = jnp.where(mask, idx, spec.n_bins + 2)  # padding -> discard
+        hist = jax.ops.segment_sum(
+            jnp.ones_like(idx, jnp.float32), idx,
+            num_segments=spec.n_bins + 3,
+        )[: spec.n_bins + 2]
+    else:
+        hist = jnp.zeros((spec.n_bins + 2,), jnp.float32)
 
     if keep_finals:
         return stats, hist, finals
@@ -269,7 +272,7 @@ _CHUNK_FN_CACHE = {}
 
 def _get_chunk_fn(model_kind, strategy_kind, n_periods, chunk_b, spec,
                   keep_finals, mesh: Optional[Mesh], backend: str,
-                  sampler: str = "icdf"):
+                  sampler: str = "icdf", with_hist: bool = True):
     # Key the mesh by contents (axis names + shape + device ids), not
     # identity: id() of a garbage-collected Mesh can be reused by CPython,
     # which would hand back a compiled fn bound to a dead mesh.
@@ -280,7 +283,7 @@ def _get_chunk_fn(model_kind, strategy_kind, n_periods, chunk_b, spec,
     )
     cache_key = (
         model_kind, strategy_kind, n_periods, chunk_b, spec, keep_finals,
-        mesh_key, backend, sampler,
+        mesh_key, backend, sampler, with_hist,
     )
     fn = _CHUNK_FN_CACHE.get(cache_key)
     if fn is not None:
@@ -298,6 +301,7 @@ def _get_chunk_fn(model_kind, strategy_kind, n_periods, chunk_b, spec,
             spec=spec,
             keep_finals=keep_finals,
             sampler=sampler,
+            with_hist=with_hist,
         )
     else:
         base = partial(
@@ -306,6 +310,7 @@ def _get_chunk_fn(model_kind, strategy_kind, n_periods, chunk_b, spec,
             chunk_shape_b=chunk_b,
             spec=spec,
             keep_finals=keep_finals,
+            with_hist=with_hist,
         )
 
     if mesh is None:
@@ -546,7 +551,8 @@ def simulate_stats(
         fingerprint = ckpt.config_fingerprint(
             model, strategy, n_paths, n_periods, initial_capital, seed,
             target_amount, spec, f"{backend}/streams2/{_effective_sampler(
-                model, strategy, backend, options)}",
+                model, strategy, backend, options)}"
+            + ("" if options.histogram else "/nohist"),
         )
         state = ckpt.load(checkpoint_path, fingerprint)
         if state is not None:
@@ -580,6 +586,7 @@ def simulate_stats(
             strategy.kind, n_periods, b, spec, keep_finals,
             mesh, backend,
             _effective_sampler(model, strategy, backend, options),
+            options.histogram,
         )
         if mesh is None:
             out = fn(
@@ -665,8 +672,8 @@ def simulate_stats(
         n_periods=n_periods,
         initial_capital=initial_capital,
         moments=moments,
-        histogram_spec=spec,
-        histogram_counts=total_hist,
+        histogram_spec=spec if options.histogram else None,
+        histogram_counts=total_hist if options.histogram else None,
         target_amount=target_amount,
         final_values=finals,
         elapsed_s=time.perf_counter() - t_start,

@@ -12,9 +12,11 @@ and "a thread" is a vector lane.
 Per tile the kernel also emits partial statistic rows (sum, sum², sum³,
 sum⁴, min, max, count-below, withdrawn — each lane-reduced to (1,128)), the
 exact-merge upgrade of the reduceBlock per-block mean/variance kernel
-(src/simulations.cu:185-247). Final values go to HBM once (4 B/path); the
-final-value histogram is then a factorized one-hot matmul on the MXU
-(ops/histogram.py) rather than a scatter.
+(src/simulations.cu:185-247), plus a per-tile (64,64) final-value histogram
+accumulated on the MXU as a factorized one-hot matmul rather than a
+scatter (``histogram=False`` in EngineOptions skips it — the reference's
+reduceBlock computes only mean/variance). Final values still go to HBM
+once (4 B/path) for keep_finals/bands consumers.
 
 Reproducibility: the hardware PRNG is seeded per tile from
 (seed, global_tile_index) with the same SplitMix finalizer as
@@ -34,7 +36,6 @@ import numpy as np
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-from stock_market_monte_carlo_tpu.ops import histogram as hist_ops
 
 TILE_ROWS = 64
 TILE_PATHS = TILE_ROWS * 128  # == ops.rng.KEY_TILE: one RNG tile per grid step
@@ -122,17 +123,23 @@ def _bootstrap_idx_exact_i32(st, n_i32):
 
 def _build_kernel(kind: str, strategy_kind: str, n_periods: int,
                   n_table_chunks: int, rng_mode: str = "counter",
-                  sobol_deep: bool = False):
+                  sobol_deep: bool = False, with_hist: bool = True):
     """Kernel specialized on (model kind, strategy kind, horizon).
 
     Ref layout (inputs then outputs):
-      iscal (SMEM i32 (8,)): seed_base, tile0, valid, n_table, tail_n
-      fscal (SMEM f32 (8,)): v0, a, b, amount, target
+      iscal (SMEM i32 (8,)): seed_base, tile0, valid, n_table, tail_n,
+                             sobol_off_lo, sobol_off_hi, n_hist_total
+      fscal (SMEM f32 (8,)): v0, a, b, amount, target, hist_log_lo,
+                             hist_inv_width
       [table (C,128) f32 VMEM]                    historical kinds
       [dir (T,32) i32 SMEM, shift (T,1) i32 SMEM] sobol kinds
       [keep (T,1) f32 SMEM]                       percent strategies
       finals (TILE_ROWS,128) f32 VMEM out
       partials (N_PARTIAL_ROWS,128) f32 VMEM out
+      hist (64,64) f32 VMEM out — in-kernel MXU histogram (the XLA
+        one-hot epilogue on HBM finals measured 29-37 ms per 2^24 chunk;
+        in-kernel the same counts cost ~1/3 of that: the one-hots stay in
+        VMEM and their latency hides under the month loop's VPU work)
     """
     is_sobol = kind.startswith("sobol")
     is_hist = kind.endswith("historical")
@@ -149,6 +156,7 @@ def _build_kernel(kind: str, strategy_kind: str, n_periods: int,
         keep_ref = next(it) if has_keep else None
         finals_ref = next(it)
         partials_ref = next(it)
+        hist_ref = next(it) if with_hist else None
 
         pid = pl.program_id(0)
         tile = iscal[1] + pid
@@ -366,6 +374,52 @@ def _build_kernel(kind: str, strategy_kind: str, n_periods: int,
             rowsum(jnp.where(mask, wsum, 0.0)),
         ], axis=0)
 
+        if not with_hist:
+            # stats-only mode: the reference's reduceBlock computes only
+            # mean/variance (src/simulations.cu:185-247) — skipping the
+            # binning + one-hot contraction saves ~30 ms per 2^24 chunk
+            return
+        # In-kernel histogram on the (TILE_ROWS,128) layout. The one-hot
+        # matmul needs the tile's bins as ONE row so the contraction runs
+        # over all TILE_PATHS at once (64 per-row mini-gemms measured as
+        # slow as the XLA epilogue; a (P,1)-column standalone kernel was
+        # worse still, 52.6 ms/2^24, and a (64,128)->(8192,1) reshape does
+        # not lower in Mosaic). Concatenating the 64 row-slices along the
+        # LANE axis is the relayout-free flatten: 64 VMEM copies produce
+        # flat (1, 8192), and both one-hots build from it directly in the
+        # transposed (64, P) orientation, so the single big contraction is
+        # a native NT gemm. hb (= n_bins+2) arrives at runtime in
+        # iscal[7]: real bins clip to [0, hb-1], padding maps to hb,
+        # whose counts land past position hb-1 of the flattened (4096,)
+        # block (hb==4096: hi=64 has no one-hot row) — the host-side
+        # [:hb] slice drops them either way.
+        hb = iscal[7]
+        log_lo, inv_w = fscal[5], fscal[6]
+        logv = jnp.log(jnp.maximum(total, 1e-37))
+        raw = jnp.floor((logv - log_lo) * inv_w).astype(jnp.int32) + 1
+        bins = jnp.clip(raw, 1, hb - 1)
+        bins = jnp.where(logv < log_lo, 0, bins)
+        bins = jnp.where(mask, bins, hb)
+        hi_b = bins >> 6
+        lo_b = bins & 63
+        rio = jax.lax.broadcasted_iota(jnp.int32, (64, 128), 0)
+        # per-row broadcast-compares produce full-height (64,128) pieces
+        # (all at sublane offset 0, unlike (1,128) bin slices, which
+        # Mosaic refuses to lane-concat); gluing the PIECES along lanes
+        # yields the (64, TILE_PATHS) transposed one-hots directly
+        oh_hi_t = jnp.concatenate(
+            [(hi_b[r:r + 1, :] == rio).astype(jnp.bfloat16)
+             for r in range(TILE_ROWS)], axis=1,
+        )
+        oh_lo_t = jnp.concatenate(
+            [(lo_b[r:r + 1, :] == rio).astype(jnp.bfloat16)
+             for r in range(TILE_ROWS)], axis=1,
+        )
+        hist_ref[:] = jax.lax.dot_general(
+            oh_hi_t, oh_lo_t, (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+
     return kernel
 
 
@@ -429,7 +483,8 @@ def _clt_qmatrix(k: int):
 
 
 def _build_clt_kernel(n_periods: int, n_hist_total: int,
-                      with_strategy: bool = False):
+                      with_strategy: bool = False,
+                      with_hist: bool = True):
     """``with_strategy`` enables multiplicative withdrawal strategies at
     CLT speed: per-month keep fractions fold into the per-block (1,K)
     affine constants (finals are free), and the per-path withdrawn total
@@ -444,7 +499,8 @@ def _build_clt_kernel(n_periods: int, n_hist_total: int,
         it = iter(refs)
         iscal, fscal, q_ref, cs_ref, sh_ref = (next(it) for _ in range(5))
         keep_ref = next(it) if with_strategy else None
-        finals_ref, partials_ref, hist_ref = (next(it) for _ in range(3))
+        finals_ref, partials_ref = next(it), next(it)
+        hist_ref = next(it) if with_hist else None
         pid = pl.program_id(0)
         tile = iscal[1] + pid
         pltpu.prng_seed(_tile_seed_i32(iscal[0], tile))
@@ -554,6 +610,8 @@ def _build_clt_kernel(n_periods: int, n_hist_total: int,
             out = jnp.where(lane0 & (r_io == r_idx), val, out)
         partials_ref[:] = out
 
+        if not with_hist:
+            return  # stats-only mode (reference reduceBlock parity)
         # in-kernel MXU histogram: counts[h,l] = sum_p oh_hiT[h,p]*oh_lo[p,l]
         # — a natural (64,P)@(P,64) matmul, no operand transposes
         logv = jnp.log(jnp.maximum(finals, 1e-37))
@@ -578,8 +636,10 @@ def _build_clt_kernel(n_periods: int, n_hist_total: int,
 
 @lru_cache(maxsize=32)
 def _build_clt_call(n_periods: int, n_hist_total: int, ntiles: int,
-                    interpret: bool, with_strategy: bool = False):
-    kernel = _build_clt_kernel(n_periods, n_hist_total, with_strategy)
+                    interpret: bool, with_strategy: bool = False,
+                    with_hist: bool = True):
+    kernel = _build_clt_kernel(n_periods, n_hist_total, with_strategy,
+                               with_hist)
     in_specs = [
         pl.BlockSpec(memory_space=pltpu.SMEM),
         pl.BlockSpec(memory_space=pltpu.SMEM),
@@ -590,24 +650,27 @@ def _build_clt_call(n_periods: int, n_hist_total: int, ntiles: int,
     if with_strategy:
         in_specs.append(pl.BlockSpec(memory_space=pltpu.VMEM))  # keep rows
     p_tile = CLT_P_STRATEGY if with_strategy else CLT_P
+    out_specs = [
+        pl.BlockSpec((p_tile, 1), lambda i: (i, 0),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((N_PARTIAL_ROWS, 128), lambda i: (i, 0),
+                     memory_space=pltpu.VMEM),
+    ]
+    out_shape = [
+        jax.ShapeDtypeStruct((ntiles * p_tile, 1), jnp.float32),
+        jax.ShapeDtypeStruct((ntiles * N_PARTIAL_ROWS, 128), jnp.float32),
+    ]
+    if with_hist:
+        out_specs.append(pl.BlockSpec((64, 64), lambda i: (i, 0),
+                                      memory_space=pltpu.VMEM))
+        out_shape.append(jax.ShapeDtypeStruct((ntiles * 64, 64),
+                                              jnp.float32))
     return pl.pallas_call(
         kernel,
         grid=(ntiles,),
         in_specs=in_specs,
-        out_specs=(
-            pl.BlockSpec((p_tile, 1), lambda i: (i, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((N_PARTIAL_ROWS, 128), lambda i: (i, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((64, 64), lambda i: (i, 0),
-                         memory_space=pltpu.VMEM),
-        ),
-        out_shape=(
-            jax.ShapeDtypeStruct((ntiles * p_tile, 1), jnp.float32),
-            jax.ShapeDtypeStruct((ntiles * N_PARTIAL_ROWS, 128),
-                                 jnp.float32),
-            jax.ShapeDtypeStruct((ntiles * 64, 64), jnp.float32),
-        ),
+        out_specs=tuple(out_specs),
+        out_shape=tuple(out_shape),
         interpret=interpret,
     )
 
@@ -615,9 +678,10 @@ def _build_clt_call(n_periods: int, n_hist_total: int, ntiles: int,
 @lru_cache(maxsize=64)
 def _build_pallas_call(kind: str, strategy_kind: str, n_periods: int,
                        n_table_chunks: int, ntiles: int, interpret: bool,
-                       rng_mode: str = "counter", sobol_deep: bool = False):
+                       rng_mode: str = "counter", sobol_deep: bool = False,
+                       with_hist: bool = True):
     kernel = _build_kernel(kind, strategy_kind, n_periods, n_table_chunks,
-                           rng_mode, sobol_deep)
+                           rng_mode, sobol_deep, with_hist)
     is_sobol = kind.startswith("sobol")
     is_hist = kind.endswith("historical")
     has_keep = strategy_kind in ("fixed_percent", "variable_percent")
@@ -634,21 +698,27 @@ def _build_pallas_call(kind: str, strategy_kind: str, n_periods: int,
     if has_keep:
         in_specs.append(pl.BlockSpec(memory_space=pltpu.SMEM))
 
+    out_specs = [
+        pl.BlockSpec((TILE_ROWS, 128), lambda i: (i, 0),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((N_PARTIAL_ROWS, 128), lambda i: (i, 0),
+                     memory_space=pltpu.VMEM),
+    ]
+    out_shape = [
+        jax.ShapeDtypeStruct((ntiles * TILE_ROWS, 128), jnp.float32),
+        jax.ShapeDtypeStruct((ntiles * N_PARTIAL_ROWS, 128), jnp.float32),
+    ]
+    if with_hist:
+        out_specs.append(pl.BlockSpec((64, 64), lambda i: (i, 0),
+                                      memory_space=pltpu.VMEM))
+        out_shape.append(jax.ShapeDtypeStruct((ntiles * 64, 64),
+                                              jnp.float32))
     return pl.pallas_call(
         kernel,
         grid=(ntiles,),
         in_specs=in_specs,
-        out_specs=(
-            pl.BlockSpec((TILE_ROWS, 128), lambda i: (i, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((N_PARTIAL_ROWS, 128), lambda i: (i, 0),
-                         memory_space=pltpu.VMEM),
-        ),
-        out_shape=(
-            jax.ShapeDtypeStruct((ntiles * TILE_ROWS, 128), jnp.float32),
-            jax.ShapeDtypeStruct((ntiles * N_PARTIAL_ROWS, 128),
-                                 jnp.float32),
-        ),
+        out_specs=tuple(out_specs),
+        out_shape=tuple(out_shape),
         interpret=interpret,
     )
 
@@ -670,7 +740,8 @@ def _seed_base_i32(root_key):
 
 
 def _clt_chunk_stats(model, strategy, root_key, v0, path_offset, valid,
-                     target, *, n_periods, chunk_shape_b, spec, keep_finals):
+                     target, *, n_periods, chunk_shape_b, spec, keep_finals,
+                     with_hist=True):
     """CLT-sampler chunk (Gaussian, multiplicative strategies): same
     output contract as chunk_stats."""
     with_strategy = strategy.kind != "none"
@@ -707,8 +778,10 @@ def _clt_chunk_stats(model, strategy, root_key, v0, path_offset, valid,
         keep = jnp.ones((nblocks * CLT_K,), jnp.float32)
         keep = keep.at[:n_periods].set(_keep_factors(strategy, n_periods))
         operands.append(keep.reshape(nblocks, CLT_K))
-    call = _build_clt_call(n_periods, hb, ntiles, interpret, with_strategy)
-    finals2d, partials, hist_tiles = call(*operands)
+    call = _build_clt_call(n_periods, hb, ntiles, interpret, with_strategy,
+                           with_hist)
+    outs = call(*operands)
+    finals2d, partials = outs[0], outs[1]
 
     p = partials.reshape(ntiles, N_PARTIAL_ROWS, 128)
     stats = jnp.concatenate([
@@ -719,9 +792,12 @@ def _clt_chunk_stats(model, strategy, root_key, v0, path_offset, valid,
         jnp.sum(p[:, 6])[None],
         jnp.sum(p[:, 7])[None],
     ])
-    hist = jnp.sum(
-        hist_tiles.reshape(ntiles, 64, 64), axis=0
-    ).reshape(-1)[:hb]
+    if with_hist:
+        hist = jnp.sum(
+            outs[2].reshape(ntiles, 64, 64), axis=0
+        ).reshape(-1)[:hb]
+    else:
+        hist = jnp.zeros((hb,), jnp.float32)
     if keep_finals:
         return stats, hist, finals2d.reshape(-1)
     return stats, hist
@@ -729,7 +805,8 @@ def _clt_chunk_stats(model, strategy, root_key, v0, path_offset, valid,
 
 def pallas_chunk_stats(model, strategy, root_key, scramble_key, v0,
                        path_offset, valid, target, *, n_periods,
-                       chunk_shape_b, spec, keep_finals, sampler="icdf"):
+                       chunk_shape_b, spec, keep_finals, sampler="icdf",
+                       with_hist=True):
     """Drop-in replacement for engine.chunk_stats on TPU (same contract)."""
     # the engine passes the EFFECTIVE sampler (engine._effective_sampler):
     # "clt" = plain CLT tiles; "clt-prefix" = the lane-prefix strategy
@@ -742,7 +819,7 @@ def pallas_chunk_stats(model, strategy, root_key, scramble_key, v0,
         return _clt_chunk_stats(
             model, strategy, root_key, v0, path_offset, valid, target,
             n_periods=n_periods, chunk_shape_b=chunk_shape_b, spec=spec,
-            keep_finals=keep_finals,
+            keep_finals=keep_finals, with_hist=with_hist,
         )
     assert chunk_shape_b % TILE_PATHS == 0, (chunk_shape_b, TILE_PATHS)
     ntiles = chunk_shape_b // TILE_PATHS
@@ -792,25 +869,29 @@ def pallas_chunk_stats(model, strategy, root_key, scramble_key, v0,
     index_offset = int(getattr(model, "index_offset", 0))
     sobol_deep = kind.startswith("sobol") and index_offset != 0
     tail_n = n_table - 128 * (n_table_chunks - 1) if n_table else 0
+    hb = spec.n_bins + 2
+    assert hb % 64 == 0 and hb <= 4096, hb
     iscal = jnp.stack([
         seed_base, tile0, jnp.asarray(valid, jnp.int32),
         jnp.asarray(n_table, jnp.int32),
         jnp.asarray(tail_n, jnp.int32),
         jnp.int32(np.int32(np.uint32(index_offset & 0xFFFFFFFF))),
         jnp.int32(np.int32(np.uint32(index_offset >> 32))),
-        jnp.int32(0),
+        jnp.int32(hb),
     ])
     fscal = jnp.stack([
         jnp.asarray(v0, jnp.float32), a, b, amount,
         jnp.asarray(target, jnp.float32),
-        jnp.float32(0), jnp.float32(0), jnp.float32(0),
+        jnp.float32(spec.log_lo), jnp.float32(1.0 / spec.width),
+        jnp.float32(0),
     ])
 
     call = _build_pallas_call(
         kind, strategy_kind, n_periods, n_table_chunks, ntiles, interpret,
-        getattr(model, "rng", "counter"), sobol_deep,
+        getattr(model, "rng", "counter"), sobol_deep, with_hist,
     )
-    finals2d, partials = call(iscal, fscal, *operands)
+    outs = call(iscal, fscal, *operands)
+    finals2d, partials = outs[0], outs[1]
 
     p = partials.reshape(ntiles, N_PARTIAL_ROWS, 128)
     sums = jnp.sum(p[:, 0:4], axis=(0, 2))
@@ -823,14 +904,13 @@ def pallas_chunk_stats(model, strategy, root_key, scramble_key, v0,
         sums, mn[None], mx[None], cb[None], wd[None],
     ])
 
-    finals = finals2d.reshape(-1)
-    # histogram (MXU matmul): bin index in log space; padding -> discard
-    lane = jnp.arange(chunk_shape_b, dtype=jnp.int32)
-    mask = lane < valid
-    idx = spec.bin_index(finals)
-    idx = jnp.where(mask, idx, spec.n_bins + 2)
-    hist = hist_ops.histogram_counts(idx, spec.n_bins + 2)
+    if with_hist:
+        hist = jnp.sum(
+            outs[2].reshape(ntiles, 64, 64), axis=0
+        ).reshape(-1)[:hb]
+    else:
+        hist = jnp.zeros((hb,), jnp.float32)
 
     if keep_finals:
-        return stats, hist, finals
+        return stats, hist, finals2d.reshape(-1)
     return stats, hist

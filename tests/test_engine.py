@@ -282,3 +282,37 @@ def test_nonpositive_n_periods_rejected():
         smmc.simulate_stats(GAUSS, eng.KEY_TILE, 0)
     with pytest.raises(ValueError, match="n_periods"):
         smmc.simulate_bands(GAUSS, eng.KEY_TILE, -3)
+
+
+def test_stats_only_mode_matches_full_run():
+    """EngineOptions(histogram=False) — the reference reduceBlock's
+    mean/var-only contract (src/simulations.cu:185-247) — must produce
+    bit-identical moments (same streams; the histogram is pure epilogue)
+    and degrade the histogram-backed queries with a clear error."""
+    g = smmc.GaussianReturns()
+    full = smmc.simulate_stats(
+        g, 50_000, 120, seed=11, target_amount=1500.0,
+        options=EngineOptions(chunk_paths=eng.KEY_TILE),
+    )
+    bare = smmc.simulate_stats(
+        g, 50_000, 120, seed=11, target_amount=1500.0,
+        options=EngineOptions(chunk_paths=eng.KEY_TILE, histogram=False),
+    )
+    assert bare.mean == full.mean
+    assert bare.std == full.std
+    assert bare.moments.min == full.moments.min
+    assert bare.moments.max == full.moments.max
+    assert bare.moments.count_below == full.moments.count_below
+    assert bare.histogram_counts is None
+    with pytest.raises(ValueError):
+        bare.quantiles()
+    with pytest.raises(ValueError):
+        bare.prob_below_amount(1500.0)
+    # exact finals still give quantiles without a histogram
+    bare_f = smmc.simulate_stats(
+        g, 50_000, 120, seed=11, target_amount=1500.0,
+        keep_final_values=True,
+        options=EngineOptions(chunk_paths=eng.KEY_TILE, histogram=False),
+    )
+    q = bare_f.quantiles()
+    assert 0 < q[0.5] < q[0.75]
