@@ -32,13 +32,14 @@ def _print_stats_block(res, target):
 
 
 def _run_benchmark(n_months, n_sims, target=1000.0, mesh=None,
-                   backend="auto", keep_trajectories=0):
+                   backend="auto", keep_trajectories=0, histogram=True):
     import stock_market_monte_carlo_tpu as smmc
 
     model = _model_historical()
     res = smmc.run(
         model, n_sims, n_months, initial_capital=1000.0, seed=0,
-        target_amount=target, options=EngineOptions(backend=backend),
+        target_amount=target,
+        options=EngineOptions(backend=backend, histogram=histogram),
         mesh=mesh, keep_trajectories=keep_trajectories,
     )
     _print_stats_block(res, target)
@@ -80,8 +81,11 @@ def benchmark_mc_reduceblock(args):
 
     from stock_market_monte_carlo_tpu.ops.normal import count_below_clt
 
+    # histogram=False = the reduceBlock contract exactly: mean/variance
+    # only ever leave the device (README.md:75 "compute means on GPU to
+    # further reduce data transfer")
     res = _run_benchmark(args.n_months, args.n_simulations,
-                         mesh=_mesh(args.n_devices))
+                         mesh=_mesh(args.n_devices), histogram=False)
     est = float(np.asarray(count_below_clt(
         1000.0, res.mean, res.std, res.n_paths
     )))

@@ -444,6 +444,14 @@ def _build_kernel(kind: str, strategy_kind: str, n_periods: int,
 # ---------------------------------------------------------------------------
 
 CLT_P = 4096        # paths per CLT tile (plain compounding)
+CLT_TS = 1     # tiles per grid step (plain kernel). TS=2 measured a
+#                15% win on raw repeated pallas calls (60.0 vs 70.3 ms
+#                per 2^24 chunk, same session) but was NEUTRAL-TO-WORSE
+#                through the engine's pipelined dispatch (0.413 s vs the
+#                0.383-0.393 s TS=1 control, ~3% machine drift adjusted)
+#                — the larger per-step output blocks cost more grid-level
+#                overlap than the per-step fixed cost they save. Streams
+#                are per-tile, so any TS gives bit-identical results.
 CLT_P_STRATEGY = 2048  # paths per tile with withdrawal strategies — the
 #                       lane prefix-product chain adds ~7 live (P,K)
 #                       buffers, which blows the 16 MB scoped-VMEM limit
@@ -495,6 +503,8 @@ def _build_clt_kernel(n_periods: int, n_hist_total: int,
     K = CLT_K
     nblocks = -(-n_periods // K)
 
+    TS = 1 if with_strategy else CLT_TS
+
     def kernel(*refs):
         it = iter(refs)
         iscal, fscal, q_ref, cs_ref, sh_ref = (next(it) for _ in range(5))
@@ -502,8 +512,6 @@ def _build_clt_kernel(n_periods: int, n_hist_total: int,
         finals_ref, partials_ref = next(it), next(it)
         hist_ref = next(it) if with_hist else None
         pid = pl.program_id(0)
-        tile = iscal[1] + pid
-        pltpu.prng_seed(_tile_seed_i32(iscal[0], tile))
         a, b, target = fscal[1], fscal[2], fscal[4]
         v0 = fscal[0]
         log_lo, inv_w = fscal[5], fscal[6]
@@ -534,102 +542,119 @@ def _build_clt_kernel(n_periods: int, n_hist_total: int,
             arow_j, cs_j = block_consts(j)
             return arow_j + zraw * cs_j
 
-        if not with_strategy:
-            def body(j, prod):
-                return prod * draw_mix(j)
+        hacc = jnp.zeros((64, 64), jnp.float32) if with_hist else None
+        for s_idx in range(TS):
+            tile = iscal[1] + pid * TS + s_idx
+            pltpu.prng_seed(_tile_seed_i32(iscal[0], tile))
+            if not with_strategy:
+                def body(j, prod):
+                    return prod * draw_mix(j)
 
-            prod = jnp.ones((P, K), jnp.float32)
-            if nblocks <= 16:
-                # fully unroll: gives Mosaic freedom to overlap the next
-                # block's PRNG draw with the current block's MXU mix (an
-                # explicit draw-ahead reorder of the same dataflow
-                # measured SLOWER — 0.443 s vs 0.374 s — the list
-                # scheduler prefers this order)
-                for j in range(nblocks):
-                    prod = body(j, prod)
+                prod = jnp.ones((P, K), jnp.float32)
+                if nblocks <= 16:
+                    # fully unroll: gives Mosaic freedom to overlap the
+                    # next block's PRNG draw with the current block's MXU
+                    # mix (an explicit draw-ahead reorder of the same
+                    # dataflow measured SLOWER — 0.443 s vs 0.374 s — the
+                    # list scheduler prefers this order)
+                    for j in range(nblocks):
+                        prod = body(j, prod)
+                else:
+                    prod = jax.lax.fori_loop(0, nblocks, body, prod)
+                # (an MXU matvec for this lane-sum measured neutral —
+                # 0.365 s vs 0.357 s — the VPU reduction is not the
+                # bottleneck)
+                finals = v0 * jnp.exp(
+                    jnp.sum(jnp.log(prod), axis=1, keepdims=True)
+                )
+                wsum = jnp.zeros((P, 1), jnp.float32)
             else:
-                prod = jax.lax.fori_loop(0, nblocks, body, prod)
-            # (an MXU matvec for this lane-sum measured neutral — 0.365 s
-            # vs 0.357 s — the VPU reduction is not the bottleneck)
-            finals = v0 * jnp.exp(
-                jnp.sum(jnp.log(prod), axis=1, keepdims=True)
+                carry = jnp.full((P, 1), 1.0, jnp.float32)
+                wsum = jnp.zeros((P, 1), jnp.float32)
+                for j in range(nblocks):
+                    g_raw = draw_mix(j)              # dead cols -> 1
+                    k_row = keep_ref[j, :][None, :]  # dead cols padded 1
+                    gk = g_raw * k_row
+                    # inclusive lane prefix product of gk (Hillis-Steele)
+                    incl = gk
+                    d = 1
+                    while d < K:
+                        rolled = pltpu.roll(incl, d, 1)
+                        incl = incl * jnp.where(col1 >= d, rolled, 1.0)
+                        d *= 2
+                    # exclusive prefix: shift by one lane, lane 0 -> 1
+                    excl = jnp.where(
+                        col1 >= 1, pltpu.roll(incl, 1, 1), 1.0
+                    )
+                    # withdrawn in month (j,c) is grown*(1-k) with
+                    # grown = v0*carry*excl*g; sum lanes first, scale by
+                    # the (P,1) carry after — avoids a full (P,K) grown
+                    # buffer
+                    s_j = jnp.sum(
+                        excl * g_raw * (1.0 - k_row), axis=1,
+                        keepdims=True
+                    )
+                    wsum = wsum + (v0 * carry) * s_j
+                    carry = carry * incl[:, K - 1:K]
+                finals = v0 * carry
+            finals_ref[s_idx * P:(s_idx + 1) * P, :] = finals
+
+            rows = jax.lax.broadcasted_iota(jnp.int32, (P, 1), 0)
+            mask = ((pid * TS + s_idx) * P + rows) < iscal[2]
+            f = jnp.where(mask, finals, 0.0)
+            f2 = f * f
+            s1 = jnp.sum(f)
+            s2 = jnp.sum(f2)
+            s3 = jnp.sum(f2 * f)
+            s4 = jnp.sum(f2 * f2)
+            mn = jnp.min(jnp.where(mask, finals, jnp.inf))
+            mx = jnp.max(jnp.where(mask, finals, -jnp.inf))
+            cb = jnp.sum(jnp.where(mask & (finals < target), 1.0, 0.0))
+            wd = jnp.sum(jnp.where(mask, wsum, 0.0))
+
+            # assemble the (N_PARTIAL_ROWS, 128) partials block: scalars
+            # live in lane 0; min/max rows pad with +/-inf so the
+            # cross-tile reduction stays correct
+            r_io = jax.lax.broadcasted_iota(
+                jnp.int32, (N_PARTIAL_ROWS, 128), 0
             )
-            wsum = jnp.zeros((P, 1), jnp.float32)
-        else:
-            carry = jnp.full((P, 1), 1.0, jnp.float32)
-            wsum = jnp.zeros((P, 1), jnp.float32)
-            for j in range(nblocks):
-                g_raw = draw_mix(j)                # dead cols -> 1
-                k_row = keep_ref[j, :][None, :]    # dead cols padded 1
-                gk = g_raw * k_row
-                # inclusive lane prefix product of gk (Hillis-Steele)
-                incl = gk
-                d = 1
-                while d < K:
-                    rolled = pltpu.roll(incl, d, 1)
-                    incl = incl * jnp.where(col1 >= d, rolled, 1.0)
-                    d *= 2
-                # exclusive prefix: shift by one lane, lane 0 -> 1
-                excl = jnp.where(
-                    col1 >= 1, pltpu.roll(incl, 1, 1), 1.0
-                )
-                # withdrawn in month (j,c) is grown*(1-k) with
-                # grown = v0*carry*excl*g; sum lanes first, scale by the
-                # (P,1) carry after — avoids a full (P,K) grown buffer
-                s_j = jnp.sum(
-                    excl * g_raw * (1.0 - k_row), axis=1, keepdims=True
-                )
-                wsum = wsum + (v0 * carry) * s_j
-                carry = carry * incl[:, K - 1:K]
-            finals = v0 * carry
-        finals_ref[:] = finals
+            l_io = jax.lax.broadcasted_iota(
+                jnp.int32, (N_PARTIAL_ROWS, 128), 1
+            )
+            out = jnp.where(r_io == 4, jnp.inf,
+                            jnp.where(r_io == 5, -jnp.inf, 0.0))
+            lane0 = l_io == 0
+            for r_idx, val in ((0, s1), (1, s2), (2, s3), (3, s4),
+                               (4, mn), (5, mx), (6, cb), (7, wd)):
+                out = jnp.where(lane0 & (r_io == r_idx), val, out)
+            partials_ref[
+                s_idx * N_PARTIAL_ROWS:(s_idx + 1) * N_PARTIAL_ROWS, :
+            ] = out
 
-        rows = jax.lax.broadcasted_iota(jnp.int32, (P, 1), 0)
-        mask = (pid * P + rows) < iscal[2]
-        f = jnp.where(mask, finals, 0.0)
-        f2 = f * f
-        s1 = jnp.sum(f)
-        s2 = jnp.sum(f2)
-        s3 = jnp.sum(f2 * f)
-        s4 = jnp.sum(f2 * f2)
-        mn = jnp.min(jnp.where(mask, finals, jnp.inf))
-        mx = jnp.max(jnp.where(mask, finals, -jnp.inf))
-        cb = jnp.sum(jnp.where(mask & (finals < target), 1.0, 0.0))
-        wd = jnp.sum(jnp.where(mask, wsum, 0.0))
-
-        # assemble the (N_PARTIAL_ROWS, 128) partials block: scalars live in
-        # lane 0; min/max rows pad with +/-inf so the cross-tile reduction
-        # stays correct
-        r_io = jax.lax.broadcasted_iota(jnp.int32, (N_PARTIAL_ROWS, 128), 0)
-        l_io = jax.lax.broadcasted_iota(jnp.int32, (N_PARTIAL_ROWS, 128), 1)
-        out = jnp.where(r_io == 4, jnp.inf,
-                        jnp.where(r_io == 5, -jnp.inf, 0.0))
-        lane0 = l_io == 0
-        for r_idx, val in ((0, s1), (1, s2), (2, s3), (3, s4),
-                           (4, mn), (5, mx), (6, cb), (7, wd)):
-            out = jnp.where(lane0 & (r_io == r_idx), val, out)
-        partials_ref[:] = out
-
-        if not with_hist:
-            return  # stats-only mode (reference reduceBlock parity)
-        # in-kernel MXU histogram: counts[h,l] = sum_p oh_hiT[h,p]*oh_lo[p,l]
-        # — a natural (64,P)@(P,64) matmul, no operand transposes
-        logv = jnp.log(jnp.maximum(finals, 1e-37))
-        raw = jnp.floor((logv - log_lo) * inv_w).astype(jnp.int32) + 1
-        bins = jnp.clip(raw, 1, n_hist_total - 1)
-        bins = jnp.where(logv < log_lo, 0, bins)
-        bins = jnp.where(mask, bins, n_hist_total)  # discard padding
-        bins_t = jax.lax.transpose(bins, (1, 0))    # (1, P) — one vreg row
-        k_col = jax.lax.broadcasted_iota(jnp.int32, (64, P), 0)
-        k_io = jax.lax.broadcasted_iota(jnp.int32, (P, 64), 1)
-        # bf16 one-hots (int8 measured SLOWER here: the int8 lowering on
-        # this Mosaic version costs more than the MXU rate doubling saves)
-        oh_hi_t = ((bins_t >> 6) == k_col).astype(jnp.bfloat16)
-        oh_lo = ((bins & 63) == k_io).astype(jnp.bfloat16)
-        hist_ref[:] = jax.lax.dot_general(
-            oh_hi_t, oh_lo, (((1,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32,
-        )
+            if not with_hist:
+                continue  # stats-only mode (reference reduceBlock parity)
+            # in-kernel MXU histogram:
+            # counts[h,l] = sum_p oh_hiT[h,p]*oh_lo[p,l] — a natural
+            # (64,P)@(P,64) matmul, no operand transposes
+            logv = jnp.log(jnp.maximum(finals, 1e-37))
+            raw = jnp.floor((logv - log_lo) * inv_w).astype(jnp.int32) + 1
+            bins = jnp.clip(raw, 1, n_hist_total - 1)
+            bins = jnp.where(logv < log_lo, 0, bins)
+            bins = jnp.where(mask, bins, n_hist_total)  # discard padding
+            bins_t = jax.lax.transpose(bins, (1, 0))  # (1,P) one vreg row
+            k_col = jax.lax.broadcasted_iota(jnp.int32, (64, P), 0)
+            k_io = jax.lax.broadcasted_iota(jnp.int32, (P, 64), 1)
+            # bf16 one-hots (int8 measured SLOWER here: the int8 lowering
+            # on this Mosaic version costs more than the MXU rate
+            # doubling saves)
+            oh_hi_t = ((bins_t >> 6) == k_col).astype(jnp.bfloat16)
+            oh_lo = ((bins & 63) == k_io).astype(jnp.bfloat16)
+            hacc = hacc + jax.lax.dot_general(
+                oh_hi_t, oh_lo, (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )
+        if with_hist:
+            hist_ref[:] = hacc
 
     return kernel
 
@@ -650,10 +675,12 @@ def _build_clt_call(n_periods: int, n_hist_total: int, ntiles: int,
     if with_strategy:
         in_specs.append(pl.BlockSpec(memory_space=pltpu.VMEM))  # keep rows
     p_tile = CLT_P_STRATEGY if with_strategy else CLT_P
+    ts = 1 if with_strategy else CLT_TS
+    assert ntiles % ts == 0, (ntiles, ts)
     out_specs = [
-        pl.BlockSpec((p_tile, 1), lambda i: (i, 0),
+        pl.BlockSpec((ts * p_tile, 1), lambda i: (i, 0),
                      memory_space=pltpu.VMEM),
-        pl.BlockSpec((N_PARTIAL_ROWS, 128), lambda i: (i, 0),
+        pl.BlockSpec((ts * N_PARTIAL_ROWS, 128), lambda i: (i, 0),
                      memory_space=pltpu.VMEM),
     ]
     out_shape = [
@@ -663,11 +690,11 @@ def _build_clt_call(n_periods: int, n_hist_total: int, ntiles: int,
     if with_hist:
         out_specs.append(pl.BlockSpec((64, 64), lambda i: (i, 0),
                                       memory_space=pltpu.VMEM))
-        out_shape.append(jax.ShapeDtypeStruct((ntiles * 64, 64),
+        out_shape.append(jax.ShapeDtypeStruct((ntiles // ts * 64, 64),
                                               jnp.float32))
     return pl.pallas_call(
         kernel,
-        grid=(ntiles,),
+        grid=(ntiles // ts,),
         in_specs=in_specs,
         out_specs=tuple(out_specs),
         out_shape=tuple(out_shape),
@@ -746,7 +773,8 @@ def _clt_chunk_stats(model, strategy, root_key, v0, path_offset, valid,
     output contract as chunk_stats."""
     with_strategy = strategy.kind != "none"
     p_tile = CLT_P_STRATEGY if with_strategy else CLT_P
-    assert chunk_shape_b % p_tile == 0, (chunk_shape_b, p_tile)
+    ts = 1 if with_strategy else CLT_TS
+    assert chunk_shape_b % (p_tile * ts) == 0, (chunk_shape_b, p_tile, ts)
     hb = spec.n_bins + 2
     assert hb % 64 == 0 and hb <= 4096, hb
     ntiles = chunk_shape_b // p_tile
@@ -794,7 +822,7 @@ def _clt_chunk_stats(model, strategy, root_key, v0, path_offset, valid,
     ])
     if with_hist:
         hist = jnp.sum(
-            outs[2].reshape(ntiles, 64, 64), axis=0
+            outs[2].reshape(ntiles // ts, 64, 64), axis=0
         ).reshape(-1)[:hb]
     else:
         hist = jnp.zeros((hb,), jnp.float32)
