@@ -28,7 +28,7 @@ def main():
     n_paths = int(sys.argv[1]) if len(sys.argv) > 1 else 100_000_000
     n_periods = int(sys.argv[2]) if len(sys.argv) > 2 else 360
 
-    def timed(model, sampler="icdf", reps=2, histogram=True):
+    def timed(model, sampler="icdf", reps=3, histogram=True):
         opts = EngineOptions(chunk_paths=2**24, gaussian_sampler=sampler,
                              histogram=histogram)
         # warmup compiles the single chunk shape (the engine pads the
@@ -36,7 +36,8 @@ def main():
         smmc.simulate_stats(model, 2**24, n_periods, seed=1,
                             target_amount=2000.0, options=opts)
         best, res = None, None
-        for _ in range(reps):  # min-of-N absorbs tunnel jitter (~10%)
+        for _ in range(reps):  # min-of-N absorbs tunnel jitter (~10%;
+            # post-compile processes read 30-40% high — see optimization_log)
             t0 = time.perf_counter()
             res = smmc.simulate_stats(
                 model, n_paths, n_periods, seed=7, target_amount=2000.0,

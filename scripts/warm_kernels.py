@@ -1,0 +1,72 @@
+"""Warm the remote Mosaic compile cache for the standard kernel matrix.
+
+Fresh kernel compiles through this environment's remote compile service
+cost minutes (observed 2-17 min within one day) and inflate any timing
+taken in the same process by 30-40% (docs/optimization_log.md). Run this
+once after changing kernel code so benchmarks and tests hit the cache.
+
+Each entry runs ONE standard-chunk-shaped dispatch (2^24 paths for the
+big engines, one tile for the small variants) — enough to compile and
+cache every kernel the bench harness and the TPU test suite use.
+
+Usage: python scripts/warm_kernels.py  (on the TPU; ~1 min warm,
+longer on a cold cache)
+"""
+
+import sys
+import time
+
+import jax
+
+sys.path.insert(0, ".")
+
+import stock_market_monte_carlo_tpu as smmc  # noqa: E402
+from stock_market_monte_carlo_tpu.config import EngineOptions  # noqa: E402
+from stock_market_monte_carlo_tpu.models.strategies import (  # noqa: E402
+    FixedAmountWithdrawal,
+    FixedPercentWithdrawal,
+)
+
+T = 360
+CHUNK = 2**24
+
+
+def main():
+    print(f"backend: {jax.default_backend()}")
+    gauss = smmc.GaussianReturns()
+    hist = smmc.HistoricalBootstrap.from_csv()
+    sobol = smmc.SobolGaussianReturns.create(n_periods=T)
+
+    def opts(**kw):
+        kw.setdefault("chunk_paths", CHUNK)
+        return EngineOptions(**kw)
+
+    jobs = [
+        ("historical", hist, {}, opts()),
+        ("historical stats-only", hist, {}, opts(histogram=False)),
+        ("gauss icdf", gauss, {}, opts()),
+        ("gauss clt", gauss, {}, opts(gaussian_sampler="clt")),
+        ("gauss clt stats-only", gauss, {},
+         opts(gaussian_sampler="clt", histogram=False)),
+        ("icdf + fixed-percent", gauss,
+         {"strategy": FixedPercentWithdrawal(0.25)}, opts()),
+        ("icdf + fixed-amount", gauss,
+         {"strategy": FixedAmountWithdrawal(2.0)}, opts()),
+        ("clt-prefix strategy", gauss,
+         {"strategy": FixedPercentWithdrawal(0.25)},
+         opts(gaussian_sampler="clt-prefix", chunk_paths=2**22)),
+        ("sobol gaussian", sobol, {}, opts(chunk_paths=2**18)),
+        ("keep-finals clt", gauss, {"keep_final_values": True},
+         opts(gaussian_sampler="clt", chunk_paths=2**18)),
+    ]
+    for name, model, kw, o in jobs:
+        t0 = time.perf_counter()
+        r = smmc.simulate_stats(model, o.chunk_paths, T, seed=1,
+                                target_amount=2000.0, options=o, **kw)
+        _ = r.mean
+        print(f"  {name:24s} {time.perf_counter() - t0:7.1f} s")
+    print("warm done")
+
+
+if __name__ == "__main__":
+    main()

@@ -47,6 +47,15 @@ class EngineOptions:
     # SimulationResult.quantiles()/prob_below_amount() then raise unless
     # keep_final_values captures exact finals.
     histogram: bool = True
+    # False skips the per-path withdrawn-total accumulation (reported
+    # total_withdrawn becomes 0.0 on every backend). For multiplicative
+    # withdrawal strategies under gaussian_sampler="clt"/"clt-prefix"
+    # this unlocks the full-speed CLT kernel: the keep fractions fold
+    # into the per-block affine constants, so the FINALS of a strategy
+    # run are exact and free — only the withdrawn total needs the
+    # expensive lane prefix-product that otherwise forces the slower
+    # exact-ICDF kernel (0.563 s vs ~0.39 s at 100M x 360).
+    track_withdrawn: bool = True
     # When True, compute per-path final values in addition to fused stats
     # (needed for exact quantiles; costs an HBM write of 4 bytes/path).
     keep_final_values: bool = False

@@ -375,6 +375,13 @@ def _effective_sampler(model, strategy, backend: str,
     if (options.gaussian_sampler in ("clt", "clt-prefix")
             and strategy.kind == "none"):
         return "clt"
+    if (options.gaussian_sampler in ("clt", "clt-prefix")
+            and strategy.kind in ("fixed_percent", "variable_percent")
+            and not options.track_withdrawn):
+        # keep fractions fold into the CLT block constants: strategy
+        # FINALS are exact at plain-CLT speed; only the withdrawn total
+        # would need the lane prefix, and the caller opted out of it
+        return "clt-nw"
     if (options.gaussian_sampler == "clt-prefix"
             and strategy.kind in ("fixed_percent", "variable_percent")):
         return "clt-prefix"   # distinct stream: 2048-path tiles
@@ -667,6 +674,10 @@ def simulate_stats(
     moments = red.MomentSummary.from_packed(
         total_stats, target_amount is not None
     )
+    if not options.track_withdrawn:
+        import dataclasses as _dc
+
+        moments = _dc.replace(moments, total_withdrawn=0.0)
     return SimulationResult(
         n_paths=n_paths,
         n_periods=n_periods,

@@ -492,7 +492,8 @@ def _clt_qmatrix(k: int):
 
 def _build_clt_kernel(n_periods: int, n_hist_total: int,
                       with_strategy: bool = False,
-                      with_hist: bool = True):
+                      with_hist: bool = True,
+                      keep_fold: bool = False):
     """``with_strategy`` enables multiplicative withdrawal strategies at
     CLT speed: per-month keep fractions fold into the per-block (1,K)
     affine constants (finals are free), and the per-path withdrawn total
@@ -508,7 +509,7 @@ def _build_clt_kernel(n_periods: int, n_hist_total: int,
     def kernel(*refs):
         it = iter(refs)
         iscal, fscal, q_ref, cs_ref, sh_ref = (next(it) for _ in range(5))
-        keep_ref = next(it) if with_strategy else None
+        keep_ref = next(it) if (with_strategy or keep_fold) else None
         finals_ref, partials_ref = next(it), next(it)
         hist_ref = next(it) if with_hist else None
         pid = pl.program_id(0)
@@ -526,6 +527,15 @@ def _build_clt_kernel(n_periods: int, n_hist_total: int,
 
         def block_consts(j):
             live = col1 < (n_periods - j * K)
+            if keep_fold:
+                # multiplicative strategy at plain-CLT speed: growth*keep
+                # = k*(a + b*z) — the per-month keep fraction scales BOTH
+                # affine constants, so the hot loop is unchanged and the
+                # strategy finals are exact (only the withdrawn total,
+                # not tracked in this mode, would need a prefix)
+                k_row = keep_ref[j, :][None, :]
+                return (jnp.where(live, k_row * (a - sh_ref[:] * b), 1.0),
+                        jnp.where(live, k_row * (cs_ref[:] * b), 0.0))
             return (jnp.where(live, a - sh_ref[:] * b, 1.0),
                     jnp.where(live, cs_ref[:] * b, 0.0))
 
@@ -662,9 +672,9 @@ def _build_clt_kernel(n_periods: int, n_hist_total: int,
 @lru_cache(maxsize=32)
 def _build_clt_call(n_periods: int, n_hist_total: int, ntiles: int,
                     interpret: bool, with_strategy: bool = False,
-                    with_hist: bool = True):
+                    with_hist: bool = True, keep_fold: bool = False):
     kernel = _build_clt_kernel(n_periods, n_hist_total, with_strategy,
-                               with_hist)
+                               with_hist, keep_fold)
     in_specs = [
         pl.BlockSpec(memory_space=pltpu.SMEM),
         pl.BlockSpec(memory_space=pltpu.SMEM),
@@ -672,7 +682,7 @@ def _build_clt_call(n_periods: int, n_hist_total: int, ntiles: int,
         pl.BlockSpec(memory_space=pltpu.VMEM),
         pl.BlockSpec(memory_space=pltpu.VMEM),
     ]
-    if with_strategy:
+    if with_strategy or keep_fold:
         in_specs.append(pl.BlockSpec(memory_space=pltpu.VMEM))  # keep rows
     p_tile = CLT_P_STRATEGY if with_strategy else CLT_P
     ts = 1 if with_strategy else CLT_TS
@@ -768,10 +778,12 @@ def _seed_base_i32(root_key):
 
 def _clt_chunk_stats(model, strategy, root_key, v0, path_offset, valid,
                      target, *, n_periods, chunk_shape_b, spec, keep_finals,
-                     with_hist=True):
+                     with_hist=True, keep_fold=False):
     """CLT-sampler chunk (Gaussian, multiplicative strategies): same
-    output contract as chunk_stats."""
-    with_strategy = strategy.kind != "none"
+    output contract as chunk_stats. ``keep_fold`` runs a multiplicative
+    strategy through the PLAIN compounding kernel with the keep fractions
+    folded into the block constants (track_withdrawn=False mode)."""
+    with_strategy = strategy.kind != "none" and not keep_fold
     p_tile = CLT_P_STRATEGY if with_strategy else CLT_P
     ts = 1 if with_strategy else CLT_TS
     assert chunk_shape_b % (p_tile * ts) == 0, (chunk_shape_b, p_tile, ts)
@@ -799,7 +811,7 @@ def _clt_chunk_stats(model, strategy, root_key, v0, path_offset, valid,
         jnp.float32(0),
     ])
     operands = [iscal, fscal, q, colscale, colshift]
-    if with_strategy:
+    if with_strategy or keep_fold:
         from stock_market_monte_carlo_tpu.engine.engine import _keep_factors
 
         nblocks = -(-n_periods // CLT_K)
@@ -807,7 +819,7 @@ def _clt_chunk_stats(model, strategy, root_key, v0, path_offset, valid,
         keep = keep.at[:n_periods].set(_keep_factors(strategy, n_periods))
         operands.append(keep.reshape(nblocks, CLT_K))
     call = _build_clt_call(n_periods, hb, ntiles, interpret, with_strategy,
-                           with_hist)
+                           with_hist, keep_fold)
     outs = call(*operands)
     finals2d, partials = outs[0], outs[1]
 
@@ -841,13 +853,15 @@ def pallas_chunk_stats(model, strategy, root_key, scramble_key, v0,
     # kernel on 2048-path tiles (explicit opt-in — measured slower than
     # the exact ICDF kernel for strategy runs: 1.007 s vs 0.563 s at
     # 100M x 360 fixed-percent)
-    if (sampler in ("clt", "clt-prefix") and model.kind == "gaussian"
+    if (sampler in ("clt", "clt-prefix", "clt-nw")
+            and model.kind == "gaussian"
             and strategy.kind in ("none", "fixed_percent",
                                   "variable_percent")):
         return _clt_chunk_stats(
             model, strategy, root_key, v0, path_offset, valid, target,
             n_periods=n_periods, chunk_shape_b=chunk_shape_b, spec=spec,
             keep_finals=keep_finals, with_hist=with_hist,
+            keep_fold=(sampler == "clt-nw"),
         )
     assert chunk_shape_b % TILE_PATHS == 0, (chunk_shape_b, TILE_PATHS)
     ntiles = chunk_shape_b // TILE_PATHS

@@ -316,3 +316,24 @@ def test_stats_only_mode_matches_full_run():
     )
     q = bare_f.quantiles()
     assert 0 < q[0.5] < q[0.75]
+
+
+def test_track_withdrawn_false_semantics():
+    """track_withdrawn=False reports total_withdrawn == 0.0 on every
+    backend (on TPU it additionally unlocks the keep-folded CLT kernel);
+    the finals' statistics must be unaffected."""
+    g = smmc.GaussianReturns()
+    strat = FixedPercentWithdrawal(0.5)
+    full = smmc.simulate_stats(
+        g, 40_000, 60, seed=4, strategy=strat,
+        options=EngineOptions(chunk_paths=eng.KEY_TILE),
+    )
+    bare = smmc.simulate_stats(
+        g, 40_000, 60, seed=4, strategy=strat,
+        options=EngineOptions(chunk_paths=eng.KEY_TILE,
+                              track_withdrawn=False),
+    )
+    assert full.moments.total_withdrawn > 0
+    assert bare.moments.total_withdrawn == 0.0
+    assert bare.mean == full.mean
+    assert bare.std == full.std

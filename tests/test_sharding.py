@@ -65,3 +65,23 @@ def test_historical_sharded(mesh8, historical_table):
     a = smmc.simulate_stats(m, n, t, seed=3, options=OPTS)
     b = smmc.simulate_stats(m, n, t, seed=3, options=OPTS, mesh=mesh8)
     np.testing.assert_allclose(a.mean, b.mean, rtol=1e-6)
+
+
+def test_stats_only_sharded_matches_single(mesh8):
+    """histogram=False over a mesh: the psum of zero histograms must not
+    disturb the merged moments, and they must equal the single-device
+    stats-only run exactly."""
+    n, t = 8 * KEY_TILE, 24
+    opts = EngineOptions(chunk_paths=KEY_TILE, histogram=False)
+    single = smmc.simulate_stats(GAUSS, n, t, seed=9, target_amount=900.0,
+                                 options=opts)
+    sharded = smmc.simulate_stats(GAUSS, n, t, seed=9, target_amount=900.0,
+                                  options=opts, mesh=mesh8)
+    assert sharded.histogram_counts is None
+    # psum reduction order differs from the host merge: bit-equality holds
+    # for finals (see above); the variance goes through the catastrophic
+    # cancellation s2/n - mean^2 which amplifies the f32 psum's ~1e-8
+    # reassociation error ~600x at this config, hence the looser std bar
+    np.testing.assert_allclose(sharded.mean, single.mean, rtol=1e-6)
+    assert sharded.moments.count_below == single.moments.count_below
+    np.testing.assert_allclose(sharded.std, single.std, rtol=1e-4)

@@ -236,3 +236,33 @@ def test_clt_ks_statistic_vs_oracle_cdf():
     d = max(np.max(np.abs(ecdf_hi - f_oracle)),
             np.max(np.abs(f_oracle - ecdf_lo)))
     assert d < 1.63 / np.sqrt(n), d
+
+
+def test_clt_nw_strategy_full_speed_path():
+    """track_withdrawn=False + sampler='clt' runs multiplicative
+    strategies through the PLAIN CLT kernel with the keep fractions
+    folded into the per-block constants — strategy finals are exact at
+    plain-CLT speed; total_withdrawn reports 0.0 by contract."""
+    import numpy as np
+
+    import stock_market_monte_carlo_tpu as smmc
+    from stock_market_monte_carlo_tpu.models.strategies import (
+        FixedPercentWithdrawal,
+    )
+
+    n, t = 2**22, 360
+    strat = FixedPercentWithdrawal(0.25)
+    ref = smmc.simulate_stats(smmc.GaussianReturns(), n, t, seed=3,
+                              strategy=strat, options=_opts())
+    fast = smmc.simulate_stats(
+        smmc.GaussianReturns(), n, t, seed=3, strategy=strat,
+        options=_opts(gaussian_sampler="clt", track_withdrawn=False),
+    )
+    se = ref.std / np.sqrt(n)
+    assert abs(fast.mean - ref.mean) < 5 * se
+    assert abs(fast.std - ref.std) / ref.std < 3e-3
+    assert fast.moments.total_withdrawn == 0.0
+    # closed form: E[V_T] = v0 * (m1*k)^T
+    k, m1 = 1 - 0.25 / 100, 1.005
+    mean_a = 1000.0 * (m1 * k) ** t
+    assert abs(fast.mean - mean_a) / mean_a < 1e-3
