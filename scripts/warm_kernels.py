@@ -55,6 +55,9 @@ def main():
         ("clt-prefix strategy", gauss,
          {"strategy": FixedPercentWithdrawal(0.25)},
          opts(gaussian_sampler="clt-prefix", chunk_paths=2**22)),
+        ("clt-nw keep-fold strategy", gauss,
+         {"strategy": FixedPercentWithdrawal(0.25)},
+         opts(gaussian_sampler="clt", track_withdrawn=False)),
         ("sobol gaussian", sobol, {}, opts(chunk_paths=2**18)),
         ("keep-finals clt", gauss, {"keep_final_values": True},
          opts(gaussian_sampler="clt", chunk_paths=2**18)),

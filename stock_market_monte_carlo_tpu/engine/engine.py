@@ -462,6 +462,10 @@ class StreamUpdate:
         )
 
     def quantiles(self, qs) -> np.ndarray:
+        if self.done > 0 and self.hist.sum() == 0:
+            raise ValueError(
+                "no histogram available (EngineOptions(histogram=False))"
+            )
         return red.quantiles_from_histogram(self.spec, self.hist, qs)
 
     def prob_below(self, amount: float) -> float:
@@ -471,6 +475,10 @@ class StreamUpdate:
         SimulationResult.prob_below_amount (one shared implementation)."""
         if self.done == 0:
             return 0.0
+        if self.hist.sum() == 0:
+            raise ValueError(
+                "no histogram available (EngineOptions(histogram=False))"
+            )
         return red.prob_below_from_histogram(self.spec, self.hist, amount)
 
 
@@ -675,9 +683,7 @@ def simulate_stats(
         total_stats, target_amount is not None
     )
     if not options.track_withdrawn:
-        import dataclasses as _dc
-
-        moments = _dc.replace(moments, total_withdrawn=0.0)
+        moments = dataclasses.replace(moments, total_withdrawn=0.0)
     return SimulationResult(
         n_paths=n_paths,
         n_periods=n_periods,

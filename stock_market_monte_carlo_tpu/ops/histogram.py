@@ -5,11 +5,15 @@ scatters). Instead we factorize the bin index b = hi*64 + lo and use
 
     counts[hi, lo] = sum_p onehot(hi_p)^T onehot(lo_p)
 
-— a (P,64)^T x (P,64) matmul on the MXU: ~128 compare ops + 64 MACs per
-element, which for 100M finals is single-digit milliseconds. This replaces
-both the reference's reduceBlock shared-memory tree (src/simulations.cu:
-157-183) and its CPU-side histogram loops (examples/visualize_returns_gpu.
-cpp:387-404) with something the TPU is actually built for.
+— a (P,64)^T x (P,64) matmul on the MXU. This replaces both the
+reference's reduceBlock shared-memory tree (src/simulations.cu:157-183)
+and its CPU-side histogram loops (examples/visualize_returns_gpu.cpp:
+387-404) with something the TPU is actually built for.
+
+Role today: the fused Pallas kernels accumulate the default 4096-bin
+(64x64-factorized) histogram IN-KERNEL; this module is the epilogue used
+when EngineOptions(histogram_bins=...) picks a bin count outside the
+64x64 factorization, and by the XLA backend.
 
 Out-of-range indices (used as a "discard" marker for padding paths) fall
 outside [0, 64) after the hi split and produce all-zero one-hot rows, so

@@ -36,6 +36,7 @@ import numpy as np
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
+from stock_market_monte_carlo_tpu.ops import histogram as hist_ops
 
 TILE_ROWS = 64
 TILE_PATHS = TILE_ROWS * 128  # == ops.rng.KEY_TILE: one RNG tile per grid step
@@ -788,7 +789,7 @@ def _clt_chunk_stats(model, strategy, root_key, v0, path_offset, valid,
     ts = 1 if with_strategy else CLT_TS
     assert chunk_shape_b % (p_tile * ts) == 0, (chunk_shape_b, p_tile, ts)
     hb = spec.n_bins + 2
-    assert hb % 64 == 0 and hb <= 4096, hb
+    mxu_hist = with_hist and hb % 64 == 0 and hb <= 4096
     ntiles = chunk_shape_b // p_tile
     interpret = jax.default_backend() != "tpu"
 
@@ -819,7 +820,7 @@ def _clt_chunk_stats(model, strategy, root_key, v0, path_offset, valid,
         keep = keep.at[:n_periods].set(_keep_factors(strategy, n_periods))
         operands.append(keep.reshape(nblocks, CLT_K))
     call = _build_clt_call(n_periods, hb, ntiles, interpret, with_strategy,
-                           with_hist, keep_fold)
+                           mxu_hist, keep_fold)
     outs = call(*operands)
     finals2d, partials = outs[0], outs[1]
 
@@ -832,10 +833,16 @@ def _clt_chunk_stats(model, strategy, root_key, v0, path_offset, valid,
         jnp.sum(p[:, 6])[None],
         jnp.sum(p[:, 7])[None],
     ])
-    if with_hist:
+    if mxu_hist:
         hist = jnp.sum(
             outs[2].reshape(ntiles // ts, 64, 64), axis=0
         ).reshape(-1)[:hb]
+    elif with_hist:
+        finals = finals2d.reshape(-1)
+        lane = jnp.arange(chunk_shape_b, dtype=jnp.int32)
+        idx = spec.bin_index(finals)
+        idx = jnp.where(lane < valid, idx, hb)
+        hist = hist_ops.histogram_counts(idx, hb)
     else:
         hist = jnp.zeros((hb,), jnp.float32)
     if keep_finals:
@@ -912,7 +919,9 @@ def pallas_chunk_stats(model, strategy, root_key, scramble_key, v0,
     sobol_deep = kind.startswith("sobol") and index_offset != 0
     tail_n = n_table - 128 * (n_table_chunks - 1) if n_table else 0
     hb = spec.n_bins + 2
-    assert hb % 64 == 0 and hb <= 4096, hb
+    # the in-kernel MXU histogram needs the 64x64 factorization; other
+    # bin counts keep the pre-v7 XLA one-hot epilogue over the finals
+    mxu_hist = with_hist and hb % 64 == 0 and hb <= 4096
     iscal = jnp.stack([
         seed_base, tile0, jnp.asarray(valid, jnp.int32),
         jnp.asarray(n_table, jnp.int32),
@@ -930,7 +939,7 @@ def pallas_chunk_stats(model, strategy, root_key, scramble_key, v0,
 
     call = _build_pallas_call(
         kind, strategy_kind, n_periods, n_table_chunks, ntiles, interpret,
-        getattr(model, "rng", "counter"), sobol_deep, with_hist,
+        getattr(model, "rng", "counter"), sobol_deep, mxu_hist,
     )
     outs = call(iscal, fscal, *operands)
     finals2d, partials = outs[0], outs[1]
@@ -946,10 +955,16 @@ def pallas_chunk_stats(model, strategy, root_key, scramble_key, v0,
         sums, mn[None], mx[None], cb[None], wd[None],
     ])
 
-    if with_hist:
+    if mxu_hist:
         hist = jnp.sum(
             outs[2].reshape(ntiles, 64, 64), axis=0
         ).reshape(-1)[:hb]
+    elif with_hist:
+        finals = finals2d.reshape(-1)
+        lane = jnp.arange(chunk_shape_b, dtype=jnp.int32)
+        idx = spec.bin_index(finals)
+        idx = jnp.where(lane < valid, idx, hb)
+        hist = hist_ops.histogram_counts(idx, hb)
     else:
         hist = jnp.zeros((hb,), jnp.float32)
 

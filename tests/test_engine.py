@@ -337,3 +337,18 @@ def test_track_withdrawn_false_semantics():
     assert bare.moments.total_withdrawn == 0.0
     assert bare.mean == full.mean
     assert bare.std == full.std
+
+
+def test_odd_histogram_bins_supported():
+    """histogram_bins outside the 64x64 MXU factorization must still work
+    (the kernels fall back to the XLA one-hot epilogue on finals)."""
+    g = smmc.GaussianReturns()
+    r = smmc.simulate_stats(
+        g, 20_000, 60, seed=5,
+        options=EngineOptions(chunk_paths=eng.KEY_TILE,
+                              histogram_bins=1000),
+    )
+    assert r.histogram_counts.shape == (1002,)
+    assert r.histogram_counts.sum() == 20_000
+    q = r.quantiles([0.5])
+    assert q[0.5] > 0
