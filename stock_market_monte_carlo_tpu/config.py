@@ -65,8 +65,10 @@ class EngineOptions:
     #    random orthogonal matrix per 128-month block (CLT_K=128). Exact
     #    mean/variance/skew; per-month excess kurtosis -1.2/128 (washes out
     #    over the horizon's convolution). ~1.4x faster; plain Gaussian
-    #    compounding only (strategy runs fall back to "icdf", which
-    #    measures faster for them).
+    #    compounding only — strategy runs fall back to "icdf" (which
+    #    measures faster when the withdrawn total is tracked) unless
+    #    track_withdrawn=False, where the keep-folded plain kernel runs
+    #    strategies at full CLT speed.
     #  - "clt-prefix": CLT that also runs percent-withdrawal strategies
     #    in-kernel via a lane prefix-product on 2048-path tiles. Exact
     #    withdrawn totals, but measured SLOWER than the icdf fallback

@@ -155,3 +155,19 @@ def test_sampler_fingerprint_uses_effective_sampler(tmp_path):
         GAUSS, n, t, seed=1, options=OPTS, checkpoint_path=path,
     )
     assert res.moments.n == n
+
+
+def test_histogram_mode_fingerprint_guard(tmp_path):
+    """A checkpoint written with histograms must refuse to resume into a
+    histogram=False run (the merged zero counts would silently corrupt
+    the final histogram) — the /nohist fingerprint tag guards it."""
+    n, t = KEY_TILE, 6
+    path = str(tmp_path / "run.ckpt.npz")
+    smmc.simulate_stats(GAUSS, n, t, seed=1, options=OPTS,
+                        checkpoint_path=path)
+    with pytest.raises(ValueError, match="different run"):
+        smmc.simulate_stats(
+            GAUSS, n, t, seed=1,
+            options=EngineOptions(chunk_paths=KEY_TILE, histogram=False),
+            checkpoint_path=path,
+        )
