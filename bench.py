@@ -35,7 +35,7 @@ def main():
         # ragged tail rather than switching shapes)
         smmc.simulate_stats(model, 2**24, n_periods, seed=1,
                             target_amount=2000.0, options=opts)
-        best, res = None, None
+        best, res, rep_times = None, None, []
         for _ in range(reps):  # min-of-N absorbs tunnel jitter (~10%;
             # post-compile processes read 30-40% high — see optimization_log)
             t0 = time.perf_counter()
@@ -44,9 +44,12 @@ def main():
                 options=opts,
             )
             dt = time.perf_counter() - t0
+            rep_times.append(round(dt, 4))
             best = dt if best is None else min(best, dt)
+        all_reps.append(rep_times)
         return best, res
 
+    all_reps = []  # per-engine rep times: machine-variance evidence
     hist_model = smmc.HistoricalBootstrap.from_csv()
     t_hist, res_hist = timed(hist_model)
     # histogram=False matches the reference reduceBlock's actual contract
@@ -98,6 +101,10 @@ def main():
             "gaussian_std": round(res.std, 2),
             "mean_rel_err_vs_analytic_icdf": float(f"{rel_err:.2e}"),
             "mean_rel_err_vs_analytic_clt": float(f"{rel_err_clt:.2e}"),
+            # raw per-rep wall times, order: historical, historical
+            # stats-only, icdf, clt, clt stats-only — tunnel/machine
+            # variance is visible here (see docs/optimization_log.md)
+            "rep_times_s": all_reps,
         },
     }))
 

@@ -266,3 +266,22 @@ def test_clt_nw_strategy_full_speed_path():
     k, m1 = 1 - 0.25 / 100, 1.005
     mean_a = 1000.0 * (m1 * k) ** t
     assert abs(fast.mean - mean_a) / mean_a < 1e-3
+
+
+def test_clt_long_horizon_fori_path():
+    """T > 2048 months (nblocks > 16) exercises the CLT kernel's
+    fori_loop block path, which the unrolled default never compiles."""
+    import numpy as np
+
+    import stock_market_monte_carlo_tpu as smmc
+
+    T = 2304
+    r = smmc.simulate_stats(smmc.GaussianReturns(), 2**22, T, seed=2,
+                            target_amount=2000.0,
+                            options=_opts(gaussian_sampler="clt",
+                                          chunk_paths=2**22))
+    a, b = 1.005, 1 / 120
+    mean_a = 1000 * a**T
+    std_a = (1000**2 * ((a * a + b * b) ** T - a ** (2 * T))) ** 0.5
+    assert abs(r.mean - mean_a) / mean_a < 5e-3
+    assert abs(r.std - std_a) / std_a < 2e-2
