@@ -122,6 +122,24 @@ def _bootstrap_idx_exact_i32(st, n_i32):
     )
 
 
+def _kernel_bin_indices(values, mask, log_lo, inv_w, hb):
+    """Log-space bin index for the in-kernel MXU histograms.
+
+    MUST stay bit-compatible with ops/reductions.HistogramSpec.bin_index
+    (used by the XLA odd-bin fallback and every histogram query): interior
+    bins clip to [1, hb-1], values below the lower edge map to 0, masked
+    padding maps to hb (discarded by the one-hot build / the [:hb] slice).
+    The one intentional delta: the underflow test compares logv < log_lo
+    rather than v < lo — identical except ±1 ulp at the exact bin edge,
+    where CDF-level jitter of one count is accepted by the parity tests.
+    """
+    logv = jnp.log(jnp.maximum(values, 1e-37))
+    raw = jnp.floor((logv - log_lo) * inv_w).astype(jnp.int32) + 1
+    bins = jnp.clip(raw, 1, hb - 1)
+    bins = jnp.where(logv < log_lo, 0, bins)
+    return jnp.where(mask, bins, hb)
+
+
 def _build_kernel(kind: str, strategy_kind: str, n_periods: int,
                   n_table_chunks: int, rng_mode: str = "counter",
                   sobol_deep: bool = False, with_hist: bool = True):
@@ -395,12 +413,7 @@ def _build_kernel(kind: str, strategy_kind: str, n_periods: int,
         # block (hb==4096: hi=64 has no one-hot row) — the host-side
         # [:hb] slice drops them either way.
         hb = iscal[7]
-        log_lo, inv_w = fscal[5], fscal[6]
-        logv = jnp.log(jnp.maximum(total, 1e-37))
-        raw = jnp.floor((logv - log_lo) * inv_w).astype(jnp.int32) + 1
-        bins = jnp.clip(raw, 1, hb - 1)
-        bins = jnp.where(logv < log_lo, 0, bins)
-        bins = jnp.where(mask, bins, hb)
+        bins = _kernel_bin_indices(total, mask, fscal[5], fscal[6], hb)
         hi_b = bins >> 6
         lo_b = bins & 63
         rio = jax.lax.broadcasted_iota(jnp.int32, (64, 128), 0)
@@ -647,11 +660,8 @@ def _build_clt_kernel(n_periods: int, n_hist_total: int,
             # in-kernel MXU histogram:
             # counts[h,l] = sum_p oh_hiT[h,p]*oh_lo[p,l] — a natural
             # (64,P)@(P,64) matmul, no operand transposes
-            logv = jnp.log(jnp.maximum(finals, 1e-37))
-            raw = jnp.floor((logv - log_lo) * inv_w).astype(jnp.int32) + 1
-            bins = jnp.clip(raw, 1, n_hist_total - 1)
-            bins = jnp.where(logv < log_lo, 0, bins)
-            bins = jnp.where(mask, bins, n_hist_total)  # discard padding
+            bins = _kernel_bin_indices(finals, mask, log_lo, inv_w,
+                                       n_hist_total)
             bins_t = jax.lax.transpose(bins, (1, 0))  # (1,P) one vreg row
             k_col = jax.lax.broadcasted_iota(jnp.int32, (64, P), 0)
             k_io = jax.lax.broadcasted_iota(jnp.int32, (P, 64), 1)

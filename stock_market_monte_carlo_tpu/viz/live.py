@@ -100,7 +100,9 @@ class LiveDashboard:
             f"mean {m.mean:,.2f}   std {m.std:,.2f}   "
             f"min {m.min:,.2f}   max {m.max:,.2f}",
         ]
-        if u.done > 0:
+        if u.done > 0 and u.hist.sum() > 0:
+            # histogram=False runs stream without counts — skip the
+            # quantile row rather than crashing the run mid-stream
             q = u.quantiles(self.QS)
             lines.append("   ".join(
                 f"p{int(100 * p):02d} {v:,.1f}" for p, v in zip(self.QS, q)
@@ -195,20 +197,28 @@ def query_loop(update, inp=None, out=None) -> None:
             except ValueError:
                 out.write(f"quantile must be in (0,1): {s[2:]!r}\n")
             else:
-                v = update.quantiles([p])[0]
-                out.write(f"p{100 * p:g} = {v:,.2f}\n")
+                try:
+                    v = update.quantiles([p])[0]
+                except ValueError as e:
+                    out.write(f"{e}\n")
+                else:
+                    out.write(f"p{100 * p:g} = {v:,.2f}\n")
         else:
             try:
                 amount = float(s)
             except ValueError:
                 out.write(f"not a number: {s!r}\n")
             else:
-                p = update.prob_below(amount)
-                out.write(
-                    f"P(final < {amount:,.2f}) = {100 * p:.4f}%  "
-                    f"(~{int(round(p * update.done)):,} of "
-                    f"{update.done:,})\n"
-                )
+                try:
+                    p = update.prob_below(amount)
+                except ValueError as e:
+                    out.write(f"{e}\n")
+                else:
+                    out.write(
+                        f"P(final < {amount:,.2f}) = {100 * p:.4f}%  "
+                        f"(~{int(round(p * update.done)):,} of "
+                        f"{update.done:,})\n"
+                    )
         out.write("> ")
         out.flush()
     out.write("\n")

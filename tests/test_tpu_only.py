@@ -285,3 +285,18 @@ def test_clt_long_horizon_fori_path():
     std_a = (1000**2 * ((a * a + b * b) ** T - a ** (2 * T))) ** 0.5
     assert abs(r.mean - mean_a) / mean_a < 5e-3
     assert abs(r.std - std_a) / std_a < 2e-2
+    # the keep-fold strategy mode at the same horizon exercises the
+    # fori path's TRACED keep_ref[j, :] sublane slice
+    from stock_market_monte_carlo_tpu.models.strategies import (
+        FixedPercentWithdrawal,
+    )
+
+    rs = smmc.simulate_stats(
+        smmc.GaussianReturns(), 2**22, T, seed=2, target_amount=2000.0,
+        strategy=FixedPercentWithdrawal(0.25),
+        options=_opts(gaussian_sampler="clt", track_withdrawn=False,
+                      chunk_paths=2**22))
+    k = 1 - 0.25 / 100
+    mean_s = 1000 * (a * k) ** T
+    assert abs(rs.mean - mean_s) / mean_s < 5e-3
+    assert rs.moments.total_withdrawn == 0.0
