@@ -234,7 +234,12 @@ def chunk_stats(model, strategy, root_key, scramble_key, v0, path_offset,
     lane = jnp.arange(chunk_shape_b, dtype=jnp.int32)
     mask = lane < valid
 
-    f_stats = jnp.where(mask, finals, 0.0)
+    # power sums accumulate on finals/v0 (f32 sums of x^4 overflow past
+    # ~3e38 — realistic at large initial capital); _absorb restores
+    # absolute units in float64
+    inv0 = 1.0 / jnp.asarray(v0, jnp.float32)
+    fin_s = finals * inv0
+    f_stats = jnp.where(mask, fin_s, 0.0)
     f2 = f_stats * f_stats
     stats = jnp.stack([
         valid.astype(jnp.float32),
@@ -242,10 +247,10 @@ def chunk_stats(model, strategy, root_key, scramble_key, v0, path_offset,
         jnp.sum(f2),
         jnp.sum(f2 * f_stats),
         jnp.sum(f2 * f2),
-        jnp.min(jnp.where(mask, finals, jnp.inf)),
-        jnp.max(jnp.where(mask, finals, -jnp.inf)),
+        jnp.min(jnp.where(mask, fin_s, jnp.inf)),
+        jnp.max(jnp.where(mask, fin_s, -jnp.inf)),
         jnp.sum(jnp.where(mask & (finals < target), 1.0, 0.0)),
-        jnp.sum(jnp.where(mask, withdrawn, 0.0)),
+        jnp.sum(jnp.where(mask, withdrawn * inv0, 0.0)),
     ])
 
     if with_hist:
@@ -517,6 +522,12 @@ def simulate_stats(
     # chunk_b below never exceeds options.chunk_paths, so this bound is
     # conservative for the uint32 offset-headroom check
     _validate_run(model, n_paths, options.chunk_paths * n_dev, n_periods)
+    v0f = float(initial_capital)
+    if not (v0f > 0.0 and np.isfinite(v0f)):
+        raise ValueError(
+            f"initial_capital must be positive and finite, got "
+            f"{initial_capital}"
+        )
     keep_finals = (options.keep_final_values
                    if keep_final_values is None else keep_final_values)
     spec = make_histogram_spec(
@@ -563,11 +574,11 @@ def simulate_stats(
         # sampler's stream recipe changes (e.g. the sliced-rotation
         # bootstrap replacing the chunk-scan draw), so stale checkpoints
         # refuse to resume into a different stream.
+        eff = _effective_sampler(model, strategy, backend, options)
+        hist_tag = "" if options.histogram else "/nohist"
         fingerprint = ckpt.config_fingerprint(
             model, strategy, n_paths, n_periods, initial_capital, seed,
-            target_amount, spec, f"{backend}/streams2/{_effective_sampler(
-                model, strategy, backend, options)}"
-            + ("" if options.histogram else "/nohist"),
+            target_amount, spec, f"{backend}/streams2/{eff}{hist_tag}",
         )
         state = ckpt.load(checkpoint_path, fingerprint)
         if state is not None:
@@ -578,6 +589,12 @@ def simulate_stats(
             remaining = n_paths - done
             if progress is not None:
                 progress(done, n_paths)
+
+    # restores absolute units of the v0-normalized device power sums
+    # (layout: n, s1..s4, min, max, count_below, withdrawn)
+    stat_scale = np.array(
+        [1.0, v0f, v0f**2, v0f**3, v0f**4, v0f, v0f, 1.0, v0f], np.float64
+    )
 
     while remaining > 0:
         this_valid_total = min(remaining, per_dispatch)
@@ -637,7 +654,8 @@ def simulate_stats(
         # Overlap: fetch chunk k-1 while chunk k computes on device.
         if pending is not None:
             total_stats, total_hist, done = _absorb(
-                pending, total_stats, total_hist, finals_parts, keep_finals
+                pending, total_stats, total_hist, finals_parts,
+                keep_finals, stat_scale,
             )
             _maybe_checkpoint(
                 checkpoint_path, fingerprint, pending[3], done,
@@ -660,7 +678,8 @@ def simulate_stats(
 
     if pending is not None:  # None when a checkpoint was already complete
         total_stats, total_hist, done = _absorb(
-            pending, total_stats, total_hist, finals_parts, keep_finals
+            pending, total_stats, total_hist, finals_parts, keep_finals,
+            stat_scale,
         )
         _maybe_checkpoint(
             checkpoint_path, fingerprint, pending[3], done,
@@ -708,9 +727,10 @@ def _maybe_checkpoint(path, fingerprint, next_offset, done, stats, hist):
     ))
 
 
-def _absorb(pending, total_stats, total_hist, finals_parts, keep_finals):
+def _absorb(pending, total_stats, total_hist, finals_parts, keep_finals,
+            scale):
     out, done_after, valid = pending[:3]
-    stats = np.asarray(out[0], np.float64)
+    stats = np.asarray(out[0], np.float64) * scale
     hist = np.asarray(out[1], np.float64)
     merged = np.concatenate([
         total_stats[:5] + stats[:5],

@@ -31,11 +31,14 @@ class TerminalProgress:
         now = time.monotonic()
         if self._start is None:
             self._start = now
+            # checkpoint resumes report the prior run's paths in the first
+            # callback; rate/ETA must count only THIS session's work
+            self._done0 = done
         if done < total and now - self._last_print < self.min_interval_s:
             return
         self._last_print = now
         elapsed = now - self._start
-        rate = done / elapsed if elapsed > 0 else 0.0
+        rate = (done - self._done0) / elapsed if elapsed > 0 else 0.0
         eta = (total - done) / rate if rate > 0 else float("inf")
         pct = 100.0 * done / total if total else 100.0
         msg = (

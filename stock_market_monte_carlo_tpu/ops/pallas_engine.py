@@ -376,7 +376,12 @@ def _build_kernel(kind: str, strategy_kind: str, n_periods: int,
         finals_ref[:] = total
 
         mask = local_id < iscal[2]
-        f = jnp.where(mask, total, 0.0)
+        # moments accumulate on total/v0: f32 sums of x^4 overflow past
+        # ~3e38 at large initial capital; the host merge restores
+        # absolute units in float64 (engine._absorb)
+        inv0 = 1.0 / v0
+        tot_s = total * inv0
+        f = jnp.where(mask, tot_s, 0.0)
         f2 = f * f
 
         def rowsum(x):
@@ -387,10 +392,11 @@ def _build_kernel(kind: str, strategy_kind: str, n_periods: int,
             rowsum(f2),
             rowsum(f2 * f),
             rowsum(f2 * f2),
-            jnp.min(jnp.where(mask, total, jnp.inf), axis=0, keepdims=True),
-            jnp.max(jnp.where(mask, total, -jnp.inf), axis=0, keepdims=True),
+            jnp.min(jnp.where(mask, tot_s, jnp.inf), axis=0, keepdims=True),
+            jnp.max(jnp.where(mask, tot_s, -jnp.inf), axis=0,
+                    keepdims=True),
             rowsum(jnp.where(mask & (total < target), 1.0, 0.0)),
-            rowsum(jnp.where(mask, wsum, 0.0)),
+            rowsum(jnp.where(mask, wsum * inv0, 0.0)),
         ], axis=0)
 
         if not with_hist:
@@ -625,16 +631,19 @@ def _build_clt_kernel(n_periods: int, n_hist_total: int,
 
             rows = jax.lax.broadcasted_iota(jnp.int32, (P, 1), 0)
             mask = ((pid * TS + s_idx) * P + rows) < iscal[2]
-            f = jnp.where(mask, finals, 0.0)
+            # v0-normalized moments (see the exact kernel's note)
+            inv0 = 1.0 / v0
+            fin_s = finals * inv0
+            f = jnp.where(mask, fin_s, 0.0)
             f2 = f * f
             s1 = jnp.sum(f)
             s2 = jnp.sum(f2)
             s3 = jnp.sum(f2 * f)
             s4 = jnp.sum(f2 * f2)
-            mn = jnp.min(jnp.where(mask, finals, jnp.inf))
-            mx = jnp.max(jnp.where(mask, finals, -jnp.inf))
+            mn = jnp.min(jnp.where(mask, fin_s, jnp.inf))
+            mx = jnp.max(jnp.where(mask, fin_s, -jnp.inf))
             cb = jnp.sum(jnp.where(mask & (finals < target), 1.0, 0.0))
-            wd = jnp.sum(jnp.where(mask, wsum, 0.0))
+            wd = jnp.sum(jnp.where(mask, wsum * inv0, 0.0))
 
             # assemble the (N_PARTIAL_ROWS, 128) partials block: scalars
             # live in lane 0; min/max rows pad with +/-inf so the

@@ -46,6 +46,20 @@ def unicode_histogram(counts: np.ndarray, width: int = 56) -> str:
     return "".join(_BLOCKS[v] for v in np.clip(levels, 0, 8))
 
 
+def trim_histogram(hist, spec):
+    """(interior_counts[lo:hi], edges[lo:hi+1]) over the occupied bin
+    range, or (None, None) if no mass — the spec brackets +/-12 sigma so
+    realized mass covers a small slice of it. Shared by the dashboard,
+    the query loop and the PNG renderer."""
+    interior = np.asarray(hist)[1:-1]
+    nz = np.nonzero(interior)[0]
+    if not nz.size:
+        return None, None
+    lo_b, hi_b = int(nz[0]), int(nz[-1]) + 1
+    edges = spec.edges()
+    return interior[lo_b:hi_b], edges[lo_b:hi_b + 1]
+
+
 class LiveDashboard:
     """Terminal stream renderer: pass as ``stream=`` to the engine.
 
@@ -113,14 +127,11 @@ class LiveDashboard:
                 f"P(final < {u.target_amount:,.1f}) = {pct:.4f}%"
                 f"   (count {m.count_below:,})"
             )
-        interior = u.hist[1:-1]
-        nz = np.nonzero(interior)[0]
-        if nz.size:
-            edges = u.spec.edges()
-            lo_b, hi_b = int(nz[0]), int(nz[-1]) + 1
+        counts, edges = trim_histogram(u.hist, u.spec)
+        if counts is not None:
             lines.append(
-                f"hist  {unicode_histogram(interior[lo_b:hi_b], self.width)}"
-                f"  [{edges[lo_b]:,.0f} .. {edges[hi_b]:,.0f}]"
+                f"hist  {unicode_histogram(counts, self.width)}"
+                f"  [{edges[0]:,.0f} .. {edges[-1]:,.0f}]"
             )
         return lines
 
@@ -171,14 +182,11 @@ def query_loop(update, inp=None, out=None) -> None:
         if s in ("h", "help", "?"):
             out.write(_QUERY_HELP + "\n")
         elif s == "hist":
-            interior = update.hist[1:-1]
-            nz = np.nonzero(interior)[0]
-            if nz.size:
-                edges = update.spec.edges()
-                lo_b, hi_b = int(nz[0]), int(nz[-1]) + 1
+            counts, edges = trim_histogram(update.hist, update.spec)
+            if counts is not None:
                 out.write(
-                    f"{unicode_histogram(interior[lo_b:hi_b])}  "
-                    f"[{edges[lo_b]:,.0f} .. {edges[hi_b]:,.0f}]\n"
+                    f"{unicode_histogram(counts)}  "
+                    f"[{edges[0]:,.0f} .. {edges[-1]:,.0f}]\n"
                 )
             else:
                 out.write("(empty histogram)\n")
@@ -268,17 +276,19 @@ def live_visualize(n_months: int, n_simulations: int,
     )
     print(res.summary())
 
-    # trim the histogram to its occupied range (the spec brackets +/-12
-    # sigma; realized mass covers a small slice of that), then decimate
-    counts = res.histogram_counts[1:-1]  # interior bins
-    edges = res.histogram_spec.edges()
-    nz = np.nonzero(counts)[0]
-    lo_b, hi_b = (int(nz[0]), int(nz[-1]) + 1) if nz.size else (0, 1)
-    counts = counts[lo_b:hi_b]
-    edges = edges[lo_b:hi_b + 1]
+    # trim the histogram to its occupied range, then decimate; pad the
+    # tail group instead of truncating it (dropping it always lost the
+    # highest-value bin, which is nonzero by construction of the trim)
+    counts, edges = trim_histogram(res.histogram_counts,
+                                   res.histogram_spec)
+    if counts is None:
+        counts = np.zeros((1,), np.float64)
+        edges = res.histogram_spec.edges()[:2]
     k = max(1, len(counts) // 128)
-    counts_d = counts[: len(counts) // k * k].reshape(-1, k).sum(axis=1)
-    edges_d = edges[:: k][: len(counts_d) + 1]
+    pad = (-len(counts)) % k
+    counts_p = np.pad(counts, (0, pad))
+    counts_d = counts_p.reshape(-1, k).sum(axis=1)
+    edges_d = np.append(edges[::k][: len(counts_d)], edges[-1])
     normal_curve = None
     if overlay_normal:
         from stock_market_monte_carlo_tpu.ops.normal import normal_pdf
@@ -289,11 +299,14 @@ def live_visualize(n_months: int, n_simulations: int,
         normal_curve = (centers, pdf * res.n_paths * widths)
 
     save = save or "visualize_returns.png"
+    traj = (np.asarray(res.trajectories)
+            if res.trajectories is not None
+            else np.zeros((0, n_months + 1), np.float32))
     fan_chart(
-        np.asarray(res.trajectories), target=target,
+        traj, target=target,
         histogram=(edges_d, counts_d), save=save,
         title=(f"{model_kind} MC: {n_simulations} sims x {n_months} months "
-               f"(drawing {res.trajectories.shape[0]})"),
+               f"(drawing {traj.shape[0]})"),
         show=show, normal_curve=normal_curve,
     )
     if interactive is None:

@@ -182,8 +182,9 @@ def fan_chart(trajectories: np.ndarray, target: Optional[float] = None,
         fig, ax = plt.subplots(figsize=(12, 8))
         axh = None
     ax.plot(trajectories.T, linewidth=0.7)
-    ax.axhline(trajectories[0, 0], color="k", linewidth=1,
-               label="initial capital")
+    if trajectories.shape[0]:  # curves may be disabled (--curves 0)
+        ax.axhline(trajectories[0, 0], color="k", linewidth=1,
+                   label="initial capital")
     if target is not None:
         ax.axhline(target, color="r", linewidth=1.5, linestyle="--",
                    label="target amount")

@@ -352,3 +352,27 @@ def test_odd_histogram_bins_supported():
     assert r.histogram_counts.sum() == 20_000
     q = r.quantiles([0.5])
     assert q[0.5] > 0
+
+
+def test_large_initial_capital_moments_finite():
+    """f32 power sums of x^4 overflow past ~3e38; the kernels accumulate
+    moments on finals/v0 and the host merge restores absolute units in
+    float64, so a $10B initial portfolio must produce finite, correct
+    moments (previously kurtosis/skew went inf)."""
+    v0 = 1e10
+    T = 240
+    res = smmc.simulate_stats(
+        smmc.GaussianReturns(), 20_000, T, seed=6, initial_capital=v0,
+        options=EngineOptions(chunk_paths=eng.KEY_TILE),
+    )
+    mean_a = v0 * 1.005**T
+    assert np.isfinite(res.moments.skew)
+    assert np.isfinite(res.moments.kurtosis)
+    assert abs(res.mean - mean_a) / mean_a < 0.02
+    assert abs(res.moments.kurtosis) < 50
+
+
+def test_nonpositive_initial_capital_rejected():
+    with pytest.raises(ValueError, match="initial_capital"):
+        smmc.simulate_stats(smmc.GaussianReturns(), 1000, 12,
+                            initial_capital=0.0)

@@ -44,7 +44,9 @@ def test_sobol_pallas_stats_block(historical_table):
         m, 8192, 12, seed=1, target_amount=1030.0, options=OPTS_XLA
     )
     np.testing.assert_allclose(res.mean, ref.mean, rtol=1e-5)
-    np.testing.assert_allclose(res.std, ref.std, rtol=1e-4)
+    # see test_checkpoint: the cancellation in std amplifies ulp-level
+    # reassociation differences between the kernel row-sums and XLA sums
+    np.testing.assert_allclose(res.std, ref.std, rtol=5e-4)
     assert res.count_below == ref.count_below
     # histograms may differ by boundary-bin jitter from float reassociation
     # (a ~1e-7 relative shift moves a path across a narrow bin edge); the

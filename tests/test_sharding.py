@@ -33,7 +33,7 @@ def test_stats_match_1_vs_8_devices(mesh8):
     b = smmc.simulate_stats(GAUSS, n, t, seed=6, options=OPTS, mesh=mesh8,
                             target_amount=5000.0)
     np.testing.assert_allclose(a.mean, b.mean, rtol=1e-6)
-    np.testing.assert_allclose(a.std, b.std, rtol=1e-5)
+    np.testing.assert_allclose(a.std, b.std, rtol=1e-4)
     assert a.moments.min == b.moments.min
     assert a.moments.max == b.moments.max
     assert a.count_below == b.count_below
