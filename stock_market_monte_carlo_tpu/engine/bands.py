@@ -161,6 +161,7 @@ def simulate_bands(
 
     total = np.zeros((n_periods + 1, n_bins + 2), np.float64)
     done, offset, remaining = 0, 0, n_paths
+    pending = None  # (device counts, valid) — fetch overlaps next chunk
     while remaining > 0:
         valid = min(remaining, b)
         this_b = b if n_paths > b else eng._round_up(valid, eng.KEY_TILE)
@@ -169,10 +170,22 @@ def simulate_bands(
             jnp.uint32(offset), jnp.int32(valid), centers_j, inv_scales_j,
             this_b, n_periods, n_bins, linear,
         )
-        total += np.asarray(counts, np.float64)
+        if pending is not None:
+            # absorb chunk k-1 on the host while chunk k computes — the
+            # (T+1, n_bins+2) fetch rides this environment's slow
+            # device-to-host path, and the float64 accumulation is the
+            # reason counts must cross per chunk (f32 device totals would
+            # saturate at 2^24 per bin)
+            total += np.asarray(pending[0], np.float64)
+            done += pending[1]
+            if progress is not None:
+                progress(done, n_paths)
+        pending = (counts, valid)
         offset += this_b
-        done += valid
         remaining -= valid
+    if pending is not None:
+        total += np.asarray(pending[0], np.float64)
+        done += pending[1]
         if progress is not None:
             progress(done, n_paths)
 
