@@ -4,7 +4,7 @@ The reference's real data file (data/SP500_monthly_returns.csv, produced by
 python/get_data.py from Yahoo Finance, 1928-01..2021-12, ~1127 usable rows)
 is gitignored upstream and unobtainable here (no network egress). This module
 deterministically generates a stand-in with the same schema, the same row
-count, and S&P500-like moments (monthly mean ~0.62%, std ~5.4%, mild negative
+count, and S&P500-like moments (monthly mean ~0.54%, std ~4.8%, mild negative
 skew and fat tails via a two-regime mixture), so tests and demos are hermetic.
 
 Run ``python -m stock_market_monte_carlo_tpu.data._synthetic`` to regenerate.
@@ -14,12 +14,16 @@ from __future__ import annotations
 
 import numpy as np
 
-# 1928-01 .. 2021-12 monthly, matching get_data.py's date range: 94y * 12mo.
+# 1928-01 .. 2021-12 monthly, matching get_data.py's date range: 94y * 12mo
+# price points whose pct_change leaves N_MONTHS - 1 = 1127 usable returns —
+# the reference's row count (and the shmem table size hard-coded in its
+# kernels, src/simulations.cu:123).
 N_MONTHS = 94 * 12
+N_RETURNS = N_MONTHS - 1
 SEED = 20260816
 
 
-def synthetic_monthly_returns(n_months: int = N_MONTHS,
+def synthetic_monthly_returns(n_months: int = N_RETURNS,
                               seed: int = SEED) -> np.ndarray:
     """Percent monthly returns with S&P500-like moments. Deterministic."""
     rng = np.random.default_rng(seed)
@@ -42,7 +46,7 @@ def write_csv(path: str) -> None:
     r = synthetic_monthly_returns()
     dates = []
     y, m = 1928, 1
-    for _ in range(N_MONTHS + 1):  # +1 leading NaN row, like pct_change
+    for _ in range(N_MONTHS):  # first row carries the pct_change NaN
         dates.append(f"{y:04d}-{m:02d}")
         m += 1
         if m == 13:

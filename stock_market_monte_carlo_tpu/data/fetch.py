@@ -25,16 +25,23 @@ def fetch_sp500(out_csv: str = "data/SP500_monthly_returns.csv",
             "sp500_monthly_returns_synthetic.csv) or install yfinance "
             "on a machine with network access."
         ) from e
-    import pandas as pd  # noqa: F401  (yfinance implies pandas)
+    import pandas as pd
 
     print("- Downloading S&P500 data from Yahoo finance...")
-    data = yf.download("^GSPC", start, end)
+    # auto_adjust=False keeps the reference's 'Adj Close' column; modern
+    # yfinance also returns ticker-level MultiIndex columns by default,
+    # which would make the CSV grow a second header row and break the
+    # Date,returns schema — flatten them first
+    data = yf.download("^GSPC", start, end, auto_adjust=False)
+    if isinstance(data.columns, pd.MultiIndex):
+        data.columns = data.columns.get_level_values(0)
     col = "Adj Close" if "Adj Close" in data else "Close"
     df_monthly = data[[col]].resample("1ME").mean()
 
     print("- Generating CSV file with monthly returns...")
     monthly_returns = 100 * df_monthly.pct_change()
     monthly_returns = monthly_returns.rename(columns={col: "returns"})
+    monthly_returns.columns = ["returns"]  # belt and braces vs MultiIndex
     monthly_returns.index = monthly_returns.index.to_period("M")
     monthly_returns.index.name = "Date"
 

@@ -31,9 +31,9 @@ REFERENCE_CSV_RELPATH = os.path.join("data", "SP500_monthly_returns.csv")
 def default_returns_path() -> str:
     """Resolve the returns CSV like the reference binaries would.
 
-    Prefer ``./data/SP500_monthly_returns.csv`` relative to the CWD (the
-    reference's convention), then ``$SMMC_RETURNS_CSV``, then the vendored
-    synthetic snapshot.
+    An explicit ``$SMMC_RETURNS_CSV`` wins, then
+    ``./data/SP500_monthly_returns.csv`` relative to the CWD (the
+    reference's convention), then the vendored synthetic snapshot.
     """
     env = os.environ.get("SMMC_RETURNS_CSV")
     if env:

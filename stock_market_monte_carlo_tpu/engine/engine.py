@@ -408,6 +408,25 @@ def _validate_run(model, n_paths: int, per_dispatch: int,
             f"(limit {(1 << 32) - per_dispatch} at this chunk size); split "
             "the run over multiple seeds instead"
         )
+    if model.kind.endswith("historical"):
+        n_table = int(np.asarray(model.returns_pct).shape[0])
+        if n_table >= (1 << 15):
+            raise ValueError(
+                f"historical returns table has {n_table} rows; the exact "
+                f"integer bootstrap index map (umulhi via 16-bit split, "
+                f"ops/rng.bootstrap_index_exact and the Pallas kernel "
+                f"equivalent) supports at most {(1 << 15) - 1} rows — "
+                "aggregate the series (e.g. monthly) or subsample it"
+            )
+    if model.kind.startswith("sobol"):
+        n_dims = int(np.asarray(model.direction).shape[0])
+        if n_periods > n_dims:
+            raise ValueError(
+                f"n_periods={n_periods} exceeds the model's {n_dims} Sobol "
+                "dimensions; create the model with "
+                f"n_periods>={n_periods} (direction numbers are "
+                "per-dimension)"
+            )
     if getattr(model, "is_quasi", False):
         if n_paths > (1 << 31):
             raise ValueError(
@@ -570,15 +589,16 @@ def simulate_stats(
         # sampler. Chunk size and device count are deliberately NOT included
         # — counter-based RNG makes results chunk- and shard-invariant, so a
         # run checkpointed on an 8-device mesh resumes on 1 (and vice versa).
-        # streams2: kernel bit-stream generation tag — bumped when a
-        # sampler's stream recipe changes (e.g. the sliced-rotation
-        # bootstrap replacing the chunk-scan draw), so stale checkpoints
-        # refuse to resume into a different stream.
+        # streams3: kernel bit-stream generation tag — bumped when a
+        # sampler's recipe changes so stale checkpoints refuse to resume
+        # into a different stream (streams2->streams3: the CLT affine
+        # constants gained exact half-LSB centering and Q became a
+        # vendored byte-identical matrix).
         eff = _effective_sampler(model, strategy, backend, options)
         hist_tag = "" if options.histogram else "/nohist"
         fingerprint = ckpt.config_fingerprint(
             model, strategy, n_paths, n_periods, initial_capital, seed,
-            target_amount, spec, f"{backend}/streams2/{eff}{hist_tag}",
+            target_amount, spec, f"{backend}/streams3/{eff}{hist_tag}",
         )
         state = ckpt.load(checkpoint_path, fingerprint)
         if state is not None:

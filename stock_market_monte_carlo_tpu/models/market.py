@@ -235,12 +235,18 @@ class SobolHistoricalBootstrap:
 
     def sample_returns_pct_quasi(self, scramble_key, path_offset, shape):
         from stock_market_monte_carlo_tpu.ops.lookup import table_lookup
+        from stock_market_monte_carlo_tpu.ops.rng import (
+            bootstrap_index_exact,
+        )
+        from stock_market_monte_carlo_tpu.ops.sobol import sobol_bits_u32
 
         table = jnp.asarray(self.returns_pct, jnp.float32)
-        u = _sobol_uniforms(self.direction, path_offset, shape,
-                            scramble_key, self.index_offset)
-        n = table.shape[0]
-        idx = jnp.minimum((u * n).astype(jnp.int32), n - 1)
+        n_paths, n_periods = shape
+        # EXACT integer index map on the raw Sobol words (not on rounded
+        # f32 uniforms) — bit-identical to the Pallas kernel's recipe
+        bits = sobol_bits_u32(self.direction, path_offset, n_paths,
+                              n_periods, scramble_key, self.index_offset)
+        idx = bootstrap_index_exact(bits, table.shape[0])
         return table_lookup(table, idx)
 
 

@@ -210,11 +210,7 @@ def _build_kernel(kind: str, strategy_kind: str, n_periods: int,
                 glo = gid ^ _shr(gid, 1)
                 ghi = None
 
-        def uniforms(t):
-            if not is_sobol:
-                return _u23_from_bits(
-                    pltpu.prng_random_bits((TILE_ROWS, 128))
-                )
+        def sobol_acc(t):
             acc = jnp.zeros((TILE_ROWS, 128), jnp.int32)
             for bit in range(32):
                 d = dir_ref[t, bit]
@@ -225,8 +221,14 @@ def _build_kernel(kind: str, strategy_kind: str, n_periods: int,
                     d = dir_ref[t, 32 + bit]
                     take = (_shr(ghi, bit) & jnp.int32(1)) > 0
                     acc = jnp.where(take, acc ^ d, acc)
-            acc = acc ^ shift_ref[t, 0]
-            return _u23_from_bits(acc)
+            return acc ^ shift_ref[t, 0]
+
+        def uniforms(t):
+            if not is_sobol:
+                return _u23_from_bits(
+                    pltpu.prng_random_bits((TILE_ROWS, 128))
+                )
+            return _u23_from_bits(sobol_acc(t))
 
         if is_hist:
             # chunk rows broadcast once, loop-invariant (VMEM-resident)
@@ -295,9 +297,16 @@ def _build_kernel(kind: str, strategy_kind: str, n_periods: int,
                 return jnp.take_along_axis(comb, w_col, axis=1)
         else:
             def growth(t):
-                u = uniforms(t)
                 if is_hist:
-                    return table_lookup((u * n_table_f).astype(jnp.int32))
+                    # sobol-historical (the only kind reaching here with
+                    # is_hist): the EXACT integer index map on the raw
+                    # Sobol word — bit-identical to the XLA path
+                    # (ops/rng.bootstrap_index_exact), where a float
+                    # u*n map flipped indices at +-1-ulp boundaries
+                    return table_lookup(
+                        _bootstrap_idx_exact_i32(sobol_acc(t), iscal[3])
+                    )
+                u = uniforms(t)
                 z = jnp.float32(_SQRT2) * _erfinv_poly(2.0 * u - 1.0)
                 return a + b * z
 
@@ -486,27 +495,46 @@ def _clt_qmatrix(k: int):
     The kernel feeds *uncentered* bf16 counts straight into the matmul and
     folds the centering and scaling into per-column constants:
 
-        u_i = cnt_i * 2^-16 - 0.5
-        z_j = sum_i u_i Q_ij * sqrt(12)/||q_j||
-            = (cnt @ Q)_j * colscale_j - colshift_j
+        z_j = (cnt @ Q)_j * colscale_j - colshift_j
 
-    with colscale = 2^-16 * sqrt(12)/||q_j|| and
-    colshift = 0.5 * sqrt(12) * colsum(Q)_j/||q_j||. All constants use the
-    f64 column sums/norms of the bf16-rounded Q, so mean and variance stay
-    exact. (Feeding the raw signed words with no shift — u-1/2 = w*2^-32
+    where the constants are the EXACT affine map making z mean-0/var-1 for
+    cnt uniform over [0, 2^16) (see the in-body derivation: E[cnt] is
+    32767.5, not 2^15, and Var picks up the discrete (1 - 2^-32) factor).
+    All constants use the f64 column sums/norms of the bf16-rounded Q.
+    (Feeding the raw signed words with no shift — u-1/2 = w*2^-32
     exactly — measured SLOWER, 0.39 s vs 0.36 s: the full-range
     int32->bf16 convert costs more than shift + narrow convert.)
     """
+    import os
+
     import ml_dtypes
 
-    rng = np.random.default_rng(0x51C7)
-    q, _ = np.linalg.qr(rng.standard_normal((k, k)))
-    q_bf16 = q.astype(ml_dtypes.bfloat16)
+    # Q is VENDORED (bf16 bit pattern, 32 KB): np.linalg.qr's output is
+    # LAPACK-implementation-dependent (Householder sign/rounding), which
+    # would break the machine-portable determinism the counter-based RNG
+    # promises — a checkpoint written under OpenBLAS must resume under MKL
+    # bit-identically. Regenerate (new stream!) with:
+    #   python -c "import numpy as np, ml_dtypes;
+    #     q,_ = np.linalg.qr(np.random.default_rng(0x51C7)
+    #                        .standard_normal((128,128)));
+    #     np.save('stock_market_monte_carlo_tpu/ops/_clt_q128.npy',
+    #             q.astype(ml_dtypes.bfloat16).view(np.uint16))"
+    assert k == 128, k
+    bits = np.load(os.path.join(os.path.dirname(__file__),
+                                "_clt_q128.npy"))
+    q_bf16 = bits.view(ml_dtypes.bfloat16)
     q_f64 = q_bf16.astype(np.float64)
     colnorm = np.sqrt((q_f64 ** 2).sum(axis=0))
     colsum = q_f64.sum(axis=0)
-    colscale = (2.0**-16 * np.sqrt(12.0) / colnorm).astype(np.float32)
-    colshift = (0.5 * np.sqrt(12.0) * colsum / colnorm).astype(np.float32)
+    # exact affine constants for u = cnt*2^-16 - 1/2, cnt uniform over
+    # [0, 2^16): E[u] = -2^-17 (NOT zero — E[cnt] = 32767.5) and
+    # Var(u) = (1 - 2^-32)/12, so
+    #   z_j = (cnt@Q)_j * colscale_j - colshift_j
+    # with s = sqrt(12/(1-2^-32)) has exactly mean 0 / variance 1.
+    s_corr = np.sqrt(12.0 / (1.0 - 2.0**-32))
+    colscale = (2.0**-16 * s_corr / colnorm).astype(np.float32)
+    colshift = (32767.5 * 2.0**-16 * s_corr * colsum
+                / colnorm).astype(np.float32)
     return np.asarray(q_bf16), colscale[None, :], colshift[None, :]
 
 

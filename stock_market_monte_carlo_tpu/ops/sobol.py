@@ -275,6 +275,19 @@ def sobol_points_f32(direction, first_index, n: int, dims: int,
     reference's own sobol_points (sobol_joekuo/sobol.cc:74-166) is serial,
     host-only, and 32-bit.
     """
+    bits = sobol_bits_u32(direction, first_index, n, dims, scramble_key,
+                          index_offset)
+    # u32 -> [0,1): same 2^-32 scale the reference kernels use.
+    return bits.astype(jnp.float32) * jnp.float32(2.3283064365386963e-10)
+
+
+def sobol_bits_u32(direction, first_index, n: int, dims: int,
+                   scramble_key=None, index_offset: int = 0) -> jax.Array:
+    """(n, dims) scrambled Sobol words as uint32 — the integer form behind
+    sobol_points_f32, for consumers that need exact integer maps (the
+    historical-bootstrap index uses floor(n * word / 2^32), which must be
+    computed on the WORD, not on a rounded float, to match the Pallas
+    kernel bit for bit)."""
     direction = jnp.asarray(direction, jnp.uint32)[:dims]
     deep = index_offset != 0 or direction.shape[-1] == 64
     if deep:
@@ -292,8 +305,7 @@ def sobol_points_f32(direction, first_index, n: int, dims: int,
         bits = sobol_bits(direction, idx)
     if scramble_key is not None:
         bits = bits ^ digital_shift(scramble_key, dims)[None, :]
-    # u32 -> [0,1): same 2^-32 scale the reference kernels use.
-    return bits.astype(jnp.float32) * jnp.float32(2.3283064365386963e-10)
+    return bits
 
 
 def sobol_points_f64_host(dims: int, offset: int, n: int) -> np.ndarray:

@@ -14,7 +14,9 @@ from stock_market_monte_carlo_tpu.data.loader import (
 def test_synthetic_fixture_loads(historical_table):
     # table size mirrors the reference's ~1127-row S&P500 table
     # (src/simulations.cu:123 hard-codes 1127)
-    assert len(historical_table) == 94 * 12
+    # 94y of monthly prices -> 1127 usable pct_change rows,
+    # the reference table size (src/simulations.cu:123)
+    assert len(historical_table) == 94 * 12 - 1
     assert historical_table.dtype == np.float32
     assert np.all(np.isfinite(historical_table))
     # S&P500-like moments (percent/month)

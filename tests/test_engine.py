@@ -376,3 +376,17 @@ def test_nonpositive_initial_capital_rejected():
     with pytest.raises(ValueError, match="initial_capital"):
         smmc.simulate_stats(smmc.GaussianReturns(), 1000, 12,
                             initial_capital=0.0)
+
+
+def test_oversized_historical_table_rejected(historical_table):
+    """The exact integer bootstrap index map is a 16-bit umulhi split —
+    tables with >= 2^15 rows would silently wrap; they must error."""
+    big = jnp.tile(jnp.asarray(historical_table), 30)  # 33,810 rows
+    with pytest.raises(ValueError, match="at most"):
+        smmc.simulate_stats(smmc.HistoricalBootstrap(big), 8192, 12)
+
+
+def test_sobol_horizon_beyond_model_dims_rejected():
+    m = smmc.SobolGaussianReturns.create(n_periods=24)
+    with pytest.raises(ValueError, match="Sobol"):
+        smmc.simulate_stats(m, 8192, 48)
