@@ -102,10 +102,30 @@ def _load(path) -> Dict[str, dict]:
         if "repetition_samples" in b:  # our benchmark-google output
             rec["samples"].extend(float(x) for x in
                                   b["repetition_samples"])
-    for rec in out.values():
+    # normalize everything to SECONDS: Google Benchmark defaults to
+    # nanoseconds while our harness emits seconds — comparing raw numbers
+    # across units would produce ~1e9x-wrong speedups and unit-driven
+    # U-test "significance"
+    _TO_S = {"s": 1.0, "ms": 1e-3, "us": 1e-6, "ns": 1e-9}
+    for fam, rec in list(out.items()):
+        k = _TO_S.get(rec["unit"])
+        if k is None:
+            raise SystemExit(
+                f"{path!r}: unknown time_unit {rec['unit']!r} for {fam!r}"
+            )
+        if rec["time"] is not None:
+            rec["time"] *= k
+        rec["samples"] = [x * k for x in rec["samples"]]
+        rec["unit"] = "s"
         if rec["time"] is None and rec["samples"]:
-            s = sorted(rec["samples"])
-            rec["time"] = s[len(s) // 2]
+            srt = sorted(rec["samples"])
+            rec["time"] = srt[len(srt) // 2]
+        if rec["time"] is None:
+            # aggregate-only entry with no usable median/samples — report
+            # and drop rather than crash formatting None later
+            print(f"note: {fam!r} in {path!r} has no usable timing; "
+                  "skipped")
+            del out[fam]
     if not out:
         raise SystemExit(f"{path!r} has no benchmarks")
     return out

@@ -77,8 +77,6 @@ def benchmark_mc_reduceblock(args):
     # its CLT count-below estimate print (the reference's only option —
     # benchmark_mc_gpu_reduceBlock.cpp:65-70,109-113 — shown here next to
     # the exact on-device count it couldn't compute)
-    import numpy as np
-
     from stock_market_monte_carlo_tpu.ops.normal import count_below_clt
 
     # histogram=False = the reduceBlock contract exactly: mean/variance
@@ -128,6 +126,10 @@ def benchmark_google(args):
     import stock_market_monte_carlo_tpu as smmc
 
     model = _model_historical()
+    # untimed warmup: rep 0 would otherwise carry the jit/Mosaic compile
+    # (minutes on a fresh TPU kernel), poisoning the mean aggregate and
+    # the U-test samples benchmark-compare consumes
+    smmc.simulate_stats(model, args.n_simulations, args.n_months, seed=999)
     runs = []
     for rep in range(args.repetitions):
         res = smmc.simulate_stats(
@@ -178,7 +180,6 @@ def monte_carlo_simulated(args):
     """Gaussian CSV writer (ref: monte_carlo_simulated.cpp:5-55 — one CSV
     per simulation with Returns/Values rows)."""
     import stock_market_monte_carlo_tpu as smmc
-    from stock_market_monte_carlo_tpu.utils.io import write_data_file
 
     model = smmc.GaussianReturns(mean_pct=args.mean, std_pct=args.std)
     traj = np.asarray(smmc.simulate_paths(

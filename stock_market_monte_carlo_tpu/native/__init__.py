@@ -25,10 +25,12 @@ def _lib():
         return _LIB
     _LOAD_ATTEMPTED = True
     here = os.path.dirname(os.path.abspath(__file__))
+    # an explicit $SMMC_NATIVE_LIB wins over bundled/build-tree copies
+    # (same precedence as $SMMC_RETURNS_CSV in data/loader.py)
     candidates = [
+        os.environ.get("SMMC_NATIVE_LIB", ""),
         os.path.join(here, "libsmmc_native.so"),
         os.path.join(here, "..", "..", "build", "libsmmc_native.so"),
-        os.environ.get("SMMC_NATIVE_LIB", ""),
     ]
     for path in candidates:
         if path and os.path.exists(path):
@@ -96,6 +98,11 @@ def native_read_returns(path: str) -> Optional[np.ndarray]:
     )
     if n < 0:
         raise IOError(f"native CSV reader failed on {path!r} (code {n})")
+    if n >= cap:
+        # the C reader stops at cap, so n == cap means POSSIBLY truncated
+        # — defer to the Python reader (which has no cap) rather than
+        # silently dropping rows
+        return None
     return buf[:n].copy()
 
 

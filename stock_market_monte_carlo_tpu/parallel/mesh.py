@@ -50,7 +50,12 @@ def paths_mesh(n_devices: Optional[int] = None,
         devices = jax.devices()
     if n_devices is None:
         n_devices = len(devices)
-    if n_devices <= 1:
+    if n_devices <= 0:
+        raise ValueError(
+            f"n_devices must be >= 1, got {n_devices} (the reference's "
+            "cudaSetDevice would likewise reject it)"
+        )
+    if n_devices == 1:
         return None
     if n_devices > len(devices):
         raise ValueError(

@@ -46,7 +46,7 @@ def write_data_file(fname: str, returns: Sequence[float],
     os.makedirs(out_dir, exist_ok=True)
     path = os.path.join(out_dir, fname)
     if verbose:
-        print(f"Writing data to csv file {out_dir}{fname}")
+        print(f"Writing data to csv file {path}")
 
     try:
         from stock_market_monte_carlo_tpu.native import native_write_data_file

@@ -82,10 +82,11 @@ def _force(arrays):
 
 
 @contextlib.contextmanager
-def trace(log_dir: str = "/tmp/smmc_trace",
-          host_profile: bool = False):
-    """Capture a device trace viewable in TensorBoard/Perfetto —
-    the Nsight Compute replacement (reference: profiling/howto.sh)."""
+def trace(log_dir: str = "/tmp/smmc_trace"):
+    """Capture a profiler trace viewable in TensorBoard/Perfetto —
+    the Nsight Compute replacement (reference: profiling/howto.sh).
+    NOTE: through this environment's tunnel the trace contains host
+    events only (docs/profiling.md)."""
     import jax
 
     jax.profiler.start_trace(log_dir)

@@ -116,3 +116,38 @@ def test_repetition_files_use_median_not_first_rep(tmp_path):
         p.write_text(json.dumps({"benchmarks": entries}))
     rows = compare_files(str(tmp_path / "a.json"), str(tmp_path / "b.json"))
     assert rows[0][1] == pytest.approx(1.1)   # median, not 9.0
+
+
+def test_time_unit_normalization(tmp_path, capsys):
+    """A nanosecond Google-Benchmark file against our seconds file must
+    compare in a common unit (speedups were ~1e9x wrong otherwise)."""
+
+    def write(path, unit, scale):
+        entries = [
+            {"name": "mc", "run_type": "iteration", "repetition_index": i,
+             "real_time": (0.5 + 0.01 * i) * scale, "time_unit": unit}
+            for i in range(4)
+        ]
+        path.write_text(json.dumps({"benchmarks": entries}))
+
+    a = tmp_path / "sec.json"
+    b = tmp_path / "nsec.json"
+    write(a, "s", 1.0)
+    write(b, "ns", 1e9)  # identical timings expressed in ns
+    compare_files(str(a), str(b))
+    out = capsys.readouterr().out
+    # identical distributions: speedup ~1.0x, not 1e9x
+    assert "1.00x" in out
+
+
+def test_aggregate_only_entry_skipped(tmp_path, capsys):
+    f = tmp_path / "agg.json"
+    f.write_text(json.dumps({"benchmarks": [
+        {"name": "mc_mean", "run_type": "aggregate",
+         "aggregate_name": "mean", "real_time": 1.0, "time_unit": "s"},
+        {"name": "ok", "real_time": 2.0, "time_unit": "s",
+         "real_time_median": 2.0},
+    ]}))
+    compare_files(str(f), str(f))
+    out = capsys.readouterr().out
+    assert "skipped" in out and "ok" in out
