@@ -62,11 +62,14 @@ def main():
     t_clt, res_clt = timed(gauss, "clt")
     t_clt_so, _ = timed(gauss, "clt", histogram=False)
 
-    n_chips = max(1, len(jax.devices()))
+    # the engine runs single-device when no mesh is passed — the per-chip
+    # rate must NOT divide by other idle visible devices
+    n_chips = 1
     hist_rate = n_paths / t_hist / n_chips
     gauss_rate = n_paths / min(t_icdf, t_clt) / n_chips
 
-    analytic_mean = 1000.0 * (1 + 0.5 / 100) ** n_periods
+    analytic_mean = (1000.0
+                     * (1 + float(gauss.mean_pct) / 100.0) ** n_periods)
     rel_err = abs(res.mean - analytic_mean) / analytic_mean
     rel_err_clt = abs(res_clt.mean - analytic_mean) / analytic_mean
 
@@ -94,7 +97,10 @@ def main():
             "vs_baseline_gaussian_best": round(
                 gauss_rate / BASELINE_PATHS_PER_S, 4
             ),
-            "n_chips": n_chips,
+            "n_chips": n_chips,  # devices USED (engine is single-device
+            #                      without a mesh); visible devices may
+            #                      be more
+
             "backend": jax.default_backend(),
             "historical_mean": round(res_hist.mean, 2),
             "gaussian_mean": round(res.mean, 2),

@@ -42,9 +42,9 @@ def main():
     hist = smmc.HistoricalBootstrap.from_csv()
 
     # warmup/compile with the exact shapes each config dispatches
+    # (configs 3/4/6 warm inline just before their timed regions)
     smmc.simulate_final_values(gauss, n1, t_mo, seed=1, options=opts)
     smmc.simulate_stats(hist, n1, t_mo, seed=1, options=opts)
-    smmc.simulate_stats(gauss, opts.chunk_paths, t_mo, seed=1, options=opts)
 
     # 1. Gaussian v2 final-only
     t0 = time.perf_counter()
@@ -60,6 +60,7 @@ def main():
 
     # 3. v1 store-all-paths (trajectory bands) — capped like the reference
     n3 = 16_384 if quick else 65_536
+    _ = np.asarray(smmc.simulate_paths(hist, n3, t_mo, seed=1))  # warm
     t0 = time.perf_counter()
     traj = np.asarray(smmc.simulate_paths(hist, n3, t_mo, seed=3))
     bands = np.percentile(traj, [5, 25, 50, 75, 95], axis=0)
@@ -71,15 +72,18 @@ def main():
     # 4. Sobol vs pseudo convergence (mean abs error vs analytic, same n)
     t_qmc = 120
     n4 = 2**17
-    analytic = 1000.0 * (1 + 0.5 / 100) ** t_qmc
+    analytic = (1000.0
+                * (1 + float(gauss.mean_pct) / 100.0) ** t_qmc)
     sob = smmc.SobolGaussianReturns.create(n_periods=t_qmc)
+    smmc.simulate_stats(sob, n4, t_qmc, seed=1, options=opts)  # warm
+    smmc.simulate_stats(gauss, n4, t_qmc, seed=1, options=opts)
     t0 = time.perf_counter()
     r_s = smmc.simulate_stats(sob, n4, t_qmc, seed=4, options=opts)
     dt = time.perf_counter() - t0
     r_p = smmc.simulate_stats(gauss, n4, t_qmc, seed=4, options=opts)
     err_s = abs(r_s.mean - analytic) / analytic
     err_p = abs(r_p.mean - analytic) / analytic
-    _line("sobol_qmc_360mo", n4, t_qmc, dt, {
+    _line("sobol_qmc_120mo", n4, t_qmc, dt, {
         "qmc_mean_rel_err": float(f"{err_s:.2e}"),
         "pseudo_mean_rel_err": float(f"{err_p:.2e}"),
         "qmc_error_ratio": float(f"{err_s / max(err_p, 1e-12):.3f}"),
@@ -100,6 +104,7 @@ def main():
     # 6. device-side percentile bands at scale (keepdata capability with
     # O(T) host transfer, engine/bands.py)
     n6 = 10**6 if quick else 10**7
+    smmc.simulate_bands(gauss, min(n6, 2**20), t_mo, seed=1)  # warm
     t0 = time.perf_counter()
     b = smmc.simulate_bands(gauss, n6, t_mo, seed=6)
     _line("trajectory_bands_device", n6, t_mo, time.perf_counter() - t0,

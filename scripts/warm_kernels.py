@@ -13,12 +13,15 @@ Usage: python scripts/warm_kernels.py  (on the TPU; ~1 min warm,
 longer on a cold cache)
 """
 
+import os
 import sys
 import time
 
 import jax
 
-sys.path.insert(0, ".")
+sys.path.insert(
+    0, os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+)
 
 import stock_market_monte_carlo_tpu as smmc  # noqa: E402
 from stock_market_monte_carlo_tpu.config import EngineOptions  # noqa: E402
@@ -36,6 +39,7 @@ def main():
     gauss = smmc.GaussianReturns()
     hist = smmc.HistoricalBootstrap.from_csv()
     sobol = smmc.SobolGaussianReturns.create(n_periods=T)
+    sobol120 = smmc.SobolGaussianReturns.create(n_periods=120)
 
     def opts(**kw):
         kw.setdefault("chunk_paths", CHUNK)
@@ -59,12 +63,15 @@ def main():
          {"strategy": FixedPercentWithdrawal(0.25)},
          opts(gaussian_sampler="clt", track_withdrawn=False)),
         ("sobol gaussian", sobol, {}, opts(chunk_paths=2**18)),
+        ("sobol gaussian 120mo (bench_all)", sobol120, {},
+         opts(chunk_paths=2**17)),
         ("keep-finals clt", gauss, {"keep_final_values": True},
          opts(gaussian_sampler="clt", chunk_paths=2**18)),
     ]
     for name, model, kw, o in jobs:
+        periods = 120 if "120mo" in name else T
         t0 = time.perf_counter()
-        r = smmc.simulate_stats(model, o.chunk_paths, T, seed=1,
+        r = smmc.simulate_stats(model, o.chunk_paths, periods, seed=1,
                                 target_amount=2000.0, options=o, **kw)
         _ = r.mean
         print(f"  {name:24s} {time.perf_counter() - t0:7.1f} s")
