@@ -79,8 +79,17 @@ def _load(path) -> Dict[str, dict]:
         for suffix in ("_mean", "_median", "_stddev", "_cv"):
             if family.endswith(suffix):
                 family = family[: -len(suffix)]
+        if "time_unit" in b:
+            unit = b["time_unit"]
+        elif "run_type" in b or "aggregate_name" in b:
+            # entry shaped like Google Benchmark output but missing
+            # time_unit: GB's default unit is nanoseconds — defaulting to
+            # seconds here would mis-scale such files ~1e9x
+            unit = "ns"
+        else:
+            unit = "s"  # our harness emits seconds
         rec = out.setdefault(family, {
-            "time": None, "unit": b.get("time_unit", "s"),
+            "time": None, "unit": unit,
             "samples": [], "paths_per_second": None,
         })
         agg = b.get("aggregate_name")
@@ -129,6 +138,122 @@ def _load(path) -> Dict[str, dict]:
     if not out:
         raise SystemExit(f"{path!r} has no benchmarks")
     return out
+
+
+PLOT_METRICS = (
+    "real_time",
+    "cpu_time",
+    "bytes_per_second",
+    "items_per_second",
+    "paths_per_second",
+    "iterations",
+)
+PLOT_TRANSFORMS = ("", "inverse")
+
+
+def _plot_rows(path: str, metric: str):
+    """[(label, input_size, value)] from one benchmark JSON or CSV file.
+
+    Mirrors the reference plotter's data model
+    (python/benchmark_compare.py:96-123): the benchmark name splits on
+    '/' into a curve label and an integer input size (size 1 when the
+    name has no '/'). Aggregate entries (_mean/_median/...) are skipped
+    so repeated runs don't double-plot.
+    """
+    rows = []
+    if path.endswith(".csv"):
+        import csv as _csv
+
+        with open(path, newline="") as f:
+            for r in _csv.DictReader(f):
+                if metric not in r or r.get("name") is None:
+                    raise SystemExit(
+                        f"{path!r}: csv lacks 'name'/{metric!r} columns"
+                    )
+                rows.append((r["name"], float(r[metric])))
+    else:
+        with open(path) as f:
+            data = json.load(f)
+        for b in data.get("benchmarks", []):
+            if b.get("aggregate_name"):
+                continue
+            if metric not in b:
+                continue
+            rows.append((b.get("name", "?"), float(b[metric])))
+    if not rows:
+        raise SystemExit(f"{path!r} has no entries with metric {metric!r}")
+    out = []
+    for name, v in rows:
+        parts = name.split("/")
+        label = parts[0]
+        size = int(parts[1]) if len(parts) > 1 and parts[1].isdigit() else 1
+        out.append((label, size, v))
+    return out
+
+
+def plot_metric(path: str, metric: str = "real_time", transform: str = "",
+                relative_to: Optional[str] = None, logx: bool = False,
+                logy: bool = False, xlabel: str = "input size",
+                ylabel: Optional[str] = None, title: str = "",
+                output: Optional[str] = None):
+    """Reference-parity metric plotter (python/benchmark_compare.py:39-163):
+    one curve per label over input size, optional 1/x transform, optional
+    normalization by the ``relative_to`` label's curve, log axes."""
+    if metric not in PLOT_METRICS:
+        raise SystemExit(
+            f"unknown metric {metric!r}; choices: {', '.join(PLOT_METRICS)}"
+        )
+    if transform not in PLOT_TRANSFORMS:
+        raise SystemExit(
+            f"unknown transform {transform!r}; choices: '', 'inverse'"
+        )
+    rows = _plot_rows(path, metric)
+    if transform == "inverse":
+        rows = [(lbl, size, 1.0 / v) for lbl, size, v in rows]
+    groups: Dict[str, Dict[int, float]] = {}
+    for lbl, size, v in rows:
+        groups.setdefault(lbl, {})[size] = v
+    if relative_to is not None:
+        base = groups.get(relative_to)
+        if base is None:
+            raise SystemExit(
+                f"label {relative_to!r} is not present in the benchmark "
+                f"output (labels: {', '.join(sorted(groups))})"
+            )
+        base = dict(base)
+        groups = {
+            lbl: {s: v / base[s] for s, v in g.items() if s in base}
+            for lbl, g in groups.items()
+        }
+    if ylabel is None:
+        ylabel = metric if not transform else f"{transform}({metric})"
+        if relative_to is not None:
+            ylabel += f" relative to {relative_to}"
+
+    import matplotlib
+
+    matplotlib.use("Agg")
+    import matplotlib.pyplot as plt
+
+    fig, ax = plt.subplots(figsize=(8, 5))
+    for lbl in sorted(groups):
+        pts = sorted(groups[lbl].items())
+        ax.plot([s for s, _ in pts], [v for _, v in pts],
+                marker=".", label=lbl)
+    if logx:
+        ax.set_xscale("log")
+    if logy:
+        ax.set_yscale("log")
+    ax.set_xlabel(xlabel)
+    ax.set_ylabel(ylabel)
+    ax.set_title(title)
+    ax.legend()
+    fig.tight_layout()
+    if output:
+        fig.savefig(output)
+        print(f"saved {output}")
+    plt.close(fig)
+    return groups
 
 
 def compare_files(baseline_path: str, contender_path: str,

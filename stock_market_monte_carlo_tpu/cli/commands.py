@@ -176,6 +176,19 @@ def benchmark_compare(args):
     compare_files(args.baseline, args.contender, plot_path=args.plot)
 
 
+def benchmark_plot(args):
+    """Single-file metric plotter with the reference's option surface
+    (ref: python/benchmark_compare.py:39-163 — -m/-t/-r/--logx/--logy)."""
+    from stock_market_monte_carlo_tpu.bench.compare import plot_metric
+
+    plot_metric(
+        args.file, metric=args.metric, transform=args.transform,
+        relative_to=args.relative_to, logx=args.logx, logy=args.logy,
+        xlabel=args.xlabel, ylabel=args.ylabel, title=args.title,
+        output=args.output,
+    )
+
+
 def monte_carlo_simulated(args):
     """Gaussian CSV writer (ref: monte_carlo_simulated.cpp:5-55 — one CSV
     per simulation with Returns/Values rows)."""

@@ -87,6 +87,31 @@ def main(argv=None):
                    help="write comparison plot PNG here")
     p.set_defaults(fn=c.benchmark_compare)
 
+    p = sub.add_parser(
+        "benchmark-plot",
+        help="plot one benchmark file's metric curves "
+             "(ref: python/benchmark_compare.py options)",
+    )
+    p.add_argument("-f", dest="file", required=True,
+                   help="benchmark JSON or CSV file")
+    p.add_argument("-m", dest="metric", default="real_time",
+                   help="metric to plot (real_time, cpu_time, "
+                        "bytes_per_second, items_per_second, "
+                        "paths_per_second, iterations)")
+    p.add_argument("-t", dest="transform", default="",
+                   choices=["", "inverse"],
+                   help="transform applied to the metric")
+    p.add_argument("-r", dest="relative_to", default=None,
+                   help="plot metrics relative to this label")
+    p.add_argument("--logx", action="store_true")
+    p.add_argument("--logy", action="store_true")
+    p.add_argument("--xlabel", type=str, default="input size")
+    p.add_argument("--ylabel", type=str, default=None)
+    p.add_argument("--title", type=str, default="")
+    p.add_argument("--output", type=str, default=None,
+                   help="save the plot here instead of showing it")
+    p.set_defaults(fn=c.benchmark_plot)
+
     # --- CSV writers (ref: monte_carlo_simulated / monte_carlo_historical) -
     p = sub.add_parser(
         "monte-carlo-simulated",

@@ -350,6 +350,10 @@ def _get_chunk_fn(model_kind, strategy_kind, n_periods, chunk_b, spec,
                 mesh=mesh,
                 in_specs=(rep, rep, rep, rep, rep, P(axis), P(axis), rep),
                 out_specs=out_specs,
+                # pallas_call outputs carry no varying-mesh-axes metadata,
+                # which the jax-0.9 vma checker rejects under shard_map;
+                # the specs above state the actual sharding contract
+                check_vma=False,
             )
         )
 
@@ -486,9 +490,12 @@ class StreamUpdate:
         )
 
     def quantiles(self, qs) -> np.ndarray:
-        if self.done > 0 and self.hist.sum() == 0:
+        if self.hist.sum() == 0:
+            # covers both histogram=False and done == 0: quantiles over
+            # all-zero counts would return meaningless values, not data
             raise ValueError(
-                "no histogram available (EngineOptions(histogram=False))"
+                "no histogram counts available (EngineOptions("
+                "histogram=False), or no paths absorbed yet)"
             )
         return red.quantiles_from_histogram(self.spec, self.hist, qs)
 

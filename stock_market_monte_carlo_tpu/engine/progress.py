@@ -26,6 +26,10 @@ class TerminalProgress:
         self.min_interval_s = min_interval_s
         self._start: Optional[float] = None
         self._last_print = 0.0
+        # overwritten on the first callback (checkpoint resumes report the
+        # prior run's paths there); initialized here so any access before
+        # the first callback sees 0, not AttributeError
+        self._done0 = 0
 
     def __call__(self, done: int, total: int) -> None:
         now = time.monotonic()

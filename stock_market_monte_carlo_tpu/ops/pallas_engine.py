@@ -50,6 +50,30 @@ _ROWS = ("sum", "sum_sq", "sum_cube", "sum_quart", "min", "max",
 N_PARTIAL_ROWS = len(_ROWS)
 
 
+def interpret_mode(kind: str, rng_mode: str = "counter"):
+    """Interpret-mode selector for a kernel family.
+
+    ``False`` on real TPU hardware (compiled Mosaic). Elsewhere:
+
+    - Sobol kernels and the reference-parity PRNG kernel fold their
+      streams arithmetically (no hardware PRNG), so plain interpret mode
+      executes them with FULL fidelity — sharded runs on the virtual CPU
+      mesh reproduce the exact per-path values.
+    - The hardware-PRNG kernels (counter-mode historical/Gaussian, CLT)
+      need the TPU-semantics interpreter (``pltpu.InterpretParams``):
+      ``prng_random_bits`` there is a deterministic all-zeros stub (a
+      documented TODO in jax's interpret_pallas_call.py), so values are
+      degenerate-but-defined — the full dataflow, masking, strategy,
+      histogram and shard_map composition still execute and can be
+      checked for single-vs-multi-device identity.
+    """
+    if jax.default_backend() == "tpu":
+        return False
+    if kind.startswith("sobol") or rng_mode == "reference":
+        return True
+    return pltpu.InterpretParams()
+
+
 def _erfinv_poly(x):
     """Branch-free single-precision erfinv (same polynomial as
     ops/normal.erfinv_f32, inlined for the kernel)."""
@@ -183,7 +207,11 @@ def _build_kernel(kind: str, strategy_kind: str, n_periods: int,
         amount, target = fscal[3], fscal[4]
         n_table_f = iscal[3].astype(jnp.float32)
 
-        if not is_sobol:
+        if not is_sobol and rng_mode != "reference":
+            # reference-parity mode derives its xorshift streams from the
+            # global path id arithmetically and never touches the hardware
+            # PRNG — skipping the seed keeps that kernel runnable with
+            # full fidelity under plain interpret mode on CPU
             pltpu.prng_seed(_tile_seed_i32(iscal[0], tile))
 
         # local path ids within the chunk: tile-major, row-major
@@ -487,6 +515,12 @@ CLT_P_STRATEGY = 2048  # paths per tile with withdrawal strategies — the
 #                       at P=4096 (measured 22 MB); halving P fits
 CLT_K = 128    # months per block = mixing dimension
 
+# sha256 of the vendored _clt_q128.npy bytes (the CLT sample stream's
+# defining constant — see _clt_qmatrix)
+_CLT_Q128_SHA256 = (
+    "b8f8958ee25e0a8a4c30671c945a3d87cb71a666292d0ae5dee9353161e36907"
+)
+
 
 @lru_cache(maxsize=4)
 def _clt_qmatrix(k: int):
@@ -520,8 +554,26 @@ def _clt_qmatrix(k: int):
     #     np.save('stock_market_monte_carlo_tpu/ops/_clt_q128.npy',
     #             q.astype(ml_dtypes.bfloat16).view(np.uint16))"
     assert k == 128, k
-    bits = np.load(os.path.join(os.path.dirname(__file__),
-                                "_clt_q128.npy"))
+    qpath = os.path.join(os.path.dirname(__file__), "_clt_q128.npy")
+    with open(qpath, "rb") as f:
+        raw = f.read()
+    import hashlib
+
+    digest = hashlib.sha256(raw).hexdigest()
+    if digest != _CLT_Q128_SHA256:
+        # a corrupted or casually regenerated Q silently changes every CLT
+        # sample stream without tripping the streams3 checkpoint tag — fail
+        # loudly instead (regeneration is a deliberate act: update BOTH the
+        # file and this digest, and bump the streams tag in engine.py)
+        raise RuntimeError(
+            f"_clt_q128.npy sha256 mismatch: got {digest}, expected "
+            f"{_CLT_Q128_SHA256}. The vendored CLT mixing matrix defines "
+            "the sample stream; if it was regenerated on purpose, update "
+            "_CLT_Q128_SHA256 and bump the engine checkpoint streams tag."
+        )
+    import io
+
+    bits = np.load(io.BytesIO(raw))
     q_bf16 = bits.view(ml_dtypes.bfloat16)
     q_f64 = q_bf16.astype(np.float64)
     colnorm = np.sqrt((q_f64 ** 2).sum(axis=0))
@@ -838,7 +890,7 @@ def _clt_chunk_stats(model, strategy, root_key, v0, path_offset, valid,
     hb = spec.n_bins + 2
     mxu_hist = with_hist and hb % 64 == 0 and hb <= 4096
     ntiles = chunk_shape_b // p_tile
-    interpret = jax.default_backend() != "tpu"
+    interpret = interpret_mode(model.kind)
 
     q, colscale, colshift = _clt_qmatrix(CLT_K)
     a = 1.0 + jnp.asarray(model.mean_pct, jnp.float32) * 0.01
@@ -921,7 +973,7 @@ def pallas_chunk_stats(model, strategy, root_key, scramble_key, v0,
     ntiles = chunk_shape_b // TILE_PATHS
     kind = model.kind
     strategy_kind = strategy.kind
-    interpret = jax.default_backend() != "tpu"
+    interpret = interpret_mode(kind, getattr(model, "rng", "counter"))
 
     seed_base = _seed_base_i32(root_key)
     tile0 = jax.lax.bitcast_convert_type(

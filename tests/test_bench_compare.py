@@ -140,6 +140,81 @@ def test_time_unit_normalization(tmp_path, capsys):
     assert "1.00x" in out
 
 
+def test_missing_time_unit_defaults_by_shape(tmp_path, capsys):
+    """Entries without time_unit: Google-Benchmark-shaped entries
+    (run_type/aggregate_name) default to GB's nanoseconds; our plain
+    format defaults to seconds (ADVICE r2: a GB file missing the field
+    was mis-scaled ~1e9x)."""
+    gb = tmp_path / "gb.json"
+    gb.write_text(json.dumps({"benchmarks": [
+        {"name": "mc", "run_type": "iteration", "repetition_index": i,
+         "real_time": 2e9}  # 2 s expressed in (implicit) ns
+        for i in range(3)
+    ]}))
+    ours = tmp_path / "ours.json"
+    ours.write_text(json.dumps({"benchmarks": [
+        {"name": "mc", "real_time": 2.0, "real_time_median": 2.0},
+    ]}))
+    rows = compare_files(str(gb), str(ours))
+    assert rows[0][1] == pytest.approx(2.0)   # ns -> s applied
+    assert rows[0][3] == pytest.approx(1.0)   # same time either way
+
+
+def _write_plot_file(path):
+    entries = []
+    for size in (100, 1000, 10000):
+        entries.append({"name": f"cpu/{size}", "real_time": size * 1.0,
+                        "items_per_second": 1e6 / size, "time_unit": "s"})
+        entries.append({"name": f"gpu/{size}", "real_time": size * 0.1,
+                        "items_per_second": 1e7 / size, "time_unit": "s"})
+    entries.append({"name": "gpu/100_mean", "aggregate_name": "mean",
+                    "real_time": 999.0, "time_unit": "s"})  # must be skipped
+    path.write_text(json.dumps({"benchmarks": entries}))
+
+
+def test_benchmark_plot_option_parity(tmp_path):
+    """The reference plotter's -m/-t/-r/--logx/--logy surface
+    (python/benchmark_compare.py:39-93)."""
+    from stock_market_monte_carlo_tpu.bench.compare import plot_metric
+
+    src = tmp_path / "bench.json"
+    _write_plot_file(src)
+    out = tmp_path / "plot.png"
+    groups = plot_metric(str(src), metric="real_time", transform="",
+                         relative_to="cpu", logx=True, logy=True,
+                         output=str(out))
+    assert out.exists()
+    # relative-to-label: cpu normalizes to 1.0, gpu to 0.1 at every size
+    assert all(v == pytest.approx(1.0) for v in groups["cpu"].values())
+    assert all(v == pytest.approx(0.1) for v in groups["gpu"].values())
+    # inverse transform on a different metric
+    g2 = plot_metric(str(src), metric="items_per_second",
+                     transform="inverse", output=str(tmp_path / "p2.png"))
+    assert g2["cpu"][100] == pytest.approx(100 / 1e6)
+    # aggregate entries skipped (the 999.0 would have poisoned gpu/100)
+    g3 = plot_metric(str(src), metric="real_time",
+                     output=str(tmp_path / "p3.png"))
+    assert g3["gpu"][100] == pytest.approx(10.0)
+
+
+def test_benchmark_plot_cli_and_errors(tmp_path):
+    from stock_market_monte_carlo_tpu.cli.main import main
+
+    src = tmp_path / "bench.json"
+    _write_plot_file(src)
+    out = tmp_path / "cli.png"
+    main(["benchmark-plot", "-f", str(src), "-m", "real_time",
+          "-t", "inverse", "-r", "gpu", "--logx", "--logy",
+          "--output", str(out)])
+    assert out.exists()
+    from stock_market_monte_carlo_tpu.bench.compare import plot_metric
+
+    with pytest.raises(SystemExit):
+        plot_metric(str(src), metric="no_such_metric")
+    with pytest.raises(SystemExit):
+        plot_metric(str(src), relative_to="no_such_label")
+
+
 def test_aggregate_only_entry_skipped(tmp_path, capsys):
     f = tmp_path / "agg.json"
     f.write_text(json.dumps({"benchmarks": [
