@@ -86,6 +86,40 @@ def log_growth_moments(model) -> Tuple[float, float]:
     return mu, float(np.sqrt(max(var, 1e-30)))
 
 
+def analytic_moment_shift(model, strategy, n_periods: int) -> float:
+    """The v0-normalized analytic mean E[V_T]/v0 — the centering constant
+    for the device power sums.
+
+    Accumulating moments of d = V/v0 - c instead of V/v0 makes the
+    variance extraction s2/n - mean^2 well-conditioned: uncentered, the
+    f32 device sums carry mean^2/var ~ 40-600x more magnitude than the
+    variance they must resolve, which amplified reassociation noise to a
+    1e-4 std parity floor (ROADMAP item 7). The shift is exact for i.i.d.
+    multiplicative compounding: E[V_T]/v0 = prod_t E[g_t]*keep_t with
+    E[g] = 1 + mean/100 (Gaussian r, linear expectation) or the exact
+    discrete mean of the bootstrap growth table. Non-multiplicative
+    strategies (fixed_amount) have no closed form -> shift 0 (unshifted,
+    the old behavior). The host converts shifted sums back to raw power
+    sums in float64 per chunk (engine._absorb), so the packed layout,
+    checkpoint format and MomentSummary are unchanged.
+    """
+    if not _is_multiplicative(strategy):
+        return 0.0
+    if isinstance(model, (GaussianReturns, SobolGaussianReturns)):
+        g = 1.0 + float(np.asarray(model.mean_pct)) / 100.0
+    else:
+        table = np.asarray(model.returns_pct, np.float64)
+        g = float(1.0 + table.mean() / 100.0)
+    keep = np.asarray(_keep_factors(strategy, n_periods), np.float64)
+    with np.errstate(over="ignore", under="ignore"):
+        c = float(g ** n_periods * np.prod(keep))
+    if not np.isfinite(c):
+        return 0.0
+    # keep c (and c^4 in the f64 host reconstruction) comfortably finite;
+    # shifts beyond f32 range mean the values themselves overflow anyway
+    return float(np.clip(c, 0.0, 1e30))
+
+
 def make_histogram_spec(model, strategy, n_periods: int,
                         initial_capital: float,
                         n_bins: int) -> red.HistogramSpec:
@@ -217,14 +251,18 @@ def compound_paths(growth, v0, strategy):
 
 
 def chunk_stats(model, strategy, root_key, scramble_key, v0, path_offset,
-                valid, target, *, n_periods, chunk_shape_b, spec,
-                keep_finals, with_hist=True):
+                valid, target, shift=jnp.float32(0.0), *, n_periods,
+                chunk_shape_b, spec, keep_finals, with_hist=True):
     """Simulate one chunk and reduce to (packed_stats, histogram[, finals]).
 
     ``valid`` masks padding paths in the final (ragged) chunk — the moral
     equivalent of the reference's partial-block handling, done exactly
     (the reference's reduceBlock divides by blockSize even for partial
     blocks, src/simulations.cu:232; a bias we do not reproduce).
+
+    ``shift`` centers the power-sum rows (moments of V/v0 - shift, see
+    analytic_moment_shift); min/max/count-below stay uncentered and the
+    host reconstruction restores raw sums in float64.
     """
     growth = sample_growth(
         model, root_key, scramble_key, path_offset,
@@ -235,11 +273,12 @@ def chunk_stats(model, strategy, root_key, scramble_key, v0, path_offset,
     mask = lane < valid
 
     # power sums accumulate on finals/v0 (f32 sums of x^4 overflow past
-    # ~3e38 — realistic at large initial capital); _absorb restores
-    # absolute units in float64
+    # ~3e38 — realistic at large initial capital), centered about the
+    # analytic shift; _absorb restores raw sums and absolute units in
+    # float64
     inv0 = 1.0 / jnp.asarray(v0, jnp.float32)
     fin_s = finals * inv0
-    f_stats = jnp.where(mask, fin_s, 0.0)
+    f_stats = jnp.where(mask, fin_s - shift, 0.0)
     f2 = f_stats * f_stats
     stats = jnp.stack([
         valid.astype(jnp.float32),
@@ -324,10 +363,10 @@ def _get_chunk_fn(model_kind, strategy_kind, n_periods, chunk_b, spec,
         axis = mesh.axis_names[0]
 
         def device_fn(model, strategy, root_key, scramble_key, v0,
-                      offsets, valids, target):
+                      offsets, valids, target, shift):
             out = base(
                 model, strategy, root_key, scramble_key, v0,
-                offsets[0], valids[0], target,
+                offsets[0], valids[0], target, shift,
             )
             s = out[0]
             # exact cross-device merge over ICI: sums psum, extrema pmin/pmax
@@ -348,7 +387,8 @@ def _get_chunk_fn(model_kind, strategy_kind, n_periods, chunk_b, spec,
             jax.shard_map(
                 device_fn,
                 mesh=mesh,
-                in_specs=(rep, rep, rep, rep, rep, P(axis), P(axis), rep),
+                in_specs=(rep, rep, rep, rep, rep, P(axis), P(axis), rep,
+                          rep),
                 out_specs=out_specs,
                 # pallas_call outputs carry no varying-mesh-axes metadata,
                 # which the jax-0.9 vma checker rejects under shard_map;
@@ -622,6 +662,8 @@ def simulate_stats(
     stat_scale = np.array(
         [1.0, v0f, v0f**2, v0f**3, v0f**4, v0f, v0f, 1.0, v0f], np.float64
     )
+    shift_c = analytic_moment_shift(model, strategy, n_periods)
+    shift_j = jnp.float32(shift_c)
 
     while remaining > 0:
         this_valid_total = min(remaining, per_dispatch)
@@ -651,6 +693,7 @@ def simulate_stats(
             out = fn(
                 model, strategy, root_key, scramble_key, v0,
                 jnp.uint32(offset), jnp.int32(this_valid_total), target,
+                shift_j,
             )
         else:
             # Build the per-device offset/valid arrays with an explicit
@@ -675,14 +718,14 @@ def simulate_stats(
             )
             out = fn(
                 model, strategy, root_key, scramble_key, v0,
-                offsets, valids, target,
+                offsets, valids, target, shift_j,
             )
 
         # Overlap: fetch chunk k-1 while chunk k computes on device.
         if pending is not None:
             total_stats, total_hist, done = _absorb(
                 pending, total_stats, total_hist, finals_parts,
-                keep_finals, stat_scale,
+                keep_finals, stat_scale, shift_c,
             )
             _maybe_checkpoint(
                 checkpoint_path, fingerprint, pending[3], done,
@@ -706,7 +749,7 @@ def simulate_stats(
     if pending is not None:  # None when a checkpoint was already complete
         total_stats, total_hist, done = _absorb(
             pending, total_stats, total_hist, finals_parts, keep_finals,
-            stat_scale,
+            stat_scale, shift_c,
         )
         _maybe_checkpoint(
             checkpoint_path, fingerprint, pending[3], done,
@@ -755,9 +798,24 @@ def _maybe_checkpoint(path, fingerprint, next_offset, done, stats, hist):
 
 
 def _absorb(pending, total_stats, total_hist, finals_parts, keep_finals,
-            scale):
+            scale, shift=0.0):
     out, done_after, valid = pending[:3]
-    stats = np.asarray(out[0], np.float64) * scale
+    stats = np.asarray(out[0], np.float64)
+    if shift != 0.0:
+        # the device accumulated moments of d = f - c; restore the raw
+        # power sums of f in float64 (binomial expansion about c). The
+        # shifted sums carry the f32 accuracy of the SMALL centered
+        # quantities, so the reconstructed raw sums are far more accurate
+        # than direct f32 accumulation of f^k.
+        c = float(shift)
+        n, d1, d2, d3, d4 = stats[0], stats[1], stats[2], stats[3], stats[4]
+        s1 = d1 + n * c
+        s2 = d2 + 2 * c * d1 + n * c**2
+        s3 = d3 + 3 * c * d2 + 3 * c**2 * d1 + n * c**3
+        s4 = d4 + 4 * c * d3 + 6 * c**2 * d2 + 4 * c**3 * d1 + n * c**4
+        stats = stats.copy()
+        stats[1:5] = [s1, s2, s3, s4]
+    stats = stats * scale
     hist = np.asarray(out[1], np.float64)
     merged = np.concatenate([
         total_stats[:5] + stats[:5],

@@ -173,7 +173,7 @@ def _build_kernel(kind: str, strategy_kind: str, n_periods: int,
       iscal (SMEM i32 (8,)): seed_base, tile0, valid, n_table, tail_n,
                              sobol_off_lo, sobol_off_hi, n_hist_total
       fscal (SMEM f32 (8,)): v0, a, b, amount, target, hist_log_lo,
-                             hist_inv_width
+                             hist_inv_width, moment_shift
       [table (C,128) f32 VMEM]                    historical kinds
       [dir (T,32) i32 SMEM, shift (T,1) i32 SMEM] sobol kinds
       [keep (T,1) f32 SMEM]                       percent strategies
@@ -413,12 +413,14 @@ def _build_kernel(kind: str, strategy_kind: str, n_periods: int,
         finals_ref[:] = total
 
         mask = local_id < iscal[2]
-        # moments accumulate on total/v0: f32 sums of x^4 overflow past
-        # ~3e38 at large initial capital; the host merge restores
-        # absolute units in float64 (engine._absorb)
+        # moments accumulate on total/v0, centered about the analytic
+        # shift in fscal[7] (engine.analytic_moment_shift): f32 sums of
+        # x^4 overflow past ~3e38 at large initial capital, and centering
+        # keeps the variance extraction well-conditioned; the host merge
+        # restores raw sums and absolute units in float64 (engine._absorb)
         inv0 = 1.0 / v0
         tot_s = total * inv0
-        f = jnp.where(mask, tot_s, 0.0)
+        f = jnp.where(mask, tot_s - fscal[7], 0.0)
         f2 = f * f
 
         def rowsum(x):
@@ -711,10 +713,11 @@ def _build_clt_kernel(n_periods: int, n_hist_total: int,
 
             rows = jax.lax.broadcasted_iota(jnp.int32, (P, 1), 0)
             mask = ((pid * TS + s_idx) * P + rows) < iscal[2]
-            # v0-normalized moments (see the exact kernel's note)
+            # v0-normalized moments centered about fscal[7] (see the
+            # exact kernel's note)
             inv0 = 1.0 / v0
             fin_s = finals * inv0
-            f = jnp.where(mask, fin_s, 0.0)
+            f = jnp.where(mask, fin_s - fscal[7], 0.0)
             f2 = f * f
             s1 = jnp.sum(f)
             s2 = jnp.sum(f2)
@@ -877,7 +880,8 @@ def _seed_base_i32(root_key):
 
 
 def _clt_chunk_stats(model, strategy, root_key, v0, path_offset, valid,
-                     target, *, n_periods, chunk_shape_b, spec, keep_finals,
+                     target, shift=jnp.float32(0.0), *, n_periods,
+                     chunk_shape_b, spec, keep_finals,
                      with_hist=True, keep_fold=False):
     """CLT-sampler chunk (Gaussian, multiplicative strategies): same
     output contract as chunk_stats. ``keep_fold`` runs a multiplicative
@@ -908,7 +912,7 @@ def _clt_chunk_stats(model, strategy, root_key, v0, path_offset, valid,
         jnp.asarray(v0, jnp.float32), a, b, jnp.float32(0),
         jnp.asarray(target, jnp.float32),
         jnp.float32(spec.log_lo), jnp.float32(1.0 / spec.width),
-        jnp.float32(0),
+        jnp.asarray(shift, jnp.float32),
     ])
     operands = [iscal, fscal, q, colscale, colshift]
     if with_strategy or keep_fold:
@@ -950,9 +954,9 @@ def _clt_chunk_stats(model, strategy, root_key, v0, path_offset, valid,
 
 
 def pallas_chunk_stats(model, strategy, root_key, scramble_key, v0,
-                       path_offset, valid, target, *, n_periods,
-                       chunk_shape_b, spec, keep_finals, sampler="icdf",
-                       with_hist=True):
+                       path_offset, valid, target, shift=jnp.float32(0.0),
+                       *, n_periods, chunk_shape_b, spec, keep_finals,
+                       sampler="icdf", with_hist=True):
     """Drop-in replacement for engine.chunk_stats on TPU (same contract)."""
     # the engine passes the EFFECTIVE sampler (engine._effective_sampler):
     # "clt" = plain CLT tiles; "clt-prefix" = the lane-prefix strategy
@@ -965,8 +969,8 @@ def pallas_chunk_stats(model, strategy, root_key, scramble_key, v0,
                                   "variable_percent")):
         return _clt_chunk_stats(
             model, strategy, root_key, v0, path_offset, valid, target,
-            n_periods=n_periods, chunk_shape_b=chunk_shape_b, spec=spec,
-            keep_finals=keep_finals, with_hist=with_hist,
+            shift, n_periods=n_periods, chunk_shape_b=chunk_shape_b,
+            spec=spec, keep_finals=keep_finals, with_hist=with_hist,
             keep_fold=(sampler == "clt-nw"),
         )
     assert chunk_shape_b % TILE_PATHS == 0, (chunk_shape_b, TILE_PATHS)
@@ -1004,9 +1008,9 @@ def pallas_chunk_stats(model, strategy, root_key, scramble_key, v0,
         operands.append(
             jax.lax.bitcast_convert_type(direction, jnp.int32)
         )
-        shift = digital_shift(scramble_key, n_periods)
+        dshift = digital_shift(scramble_key, n_periods)
         operands.append(
-            jax.lax.bitcast_convert_type(shift, jnp.int32).reshape(-1, 1)
+            jax.lax.bitcast_convert_type(dshift, jnp.int32).reshape(-1, 1)
         )
     if strategy_kind in ("fixed_percent", "variable_percent"):
         from stock_market_monte_carlo_tpu.engine.engine import _keep_factors
@@ -1033,7 +1037,7 @@ def pallas_chunk_stats(model, strategy, root_key, scramble_key, v0,
         jnp.asarray(v0, jnp.float32), a, b, amount,
         jnp.asarray(target, jnp.float32),
         jnp.float32(spec.log_lo), jnp.float32(1.0 / spec.width),
-        jnp.float32(0),
+        jnp.asarray(shift, jnp.float32),
     ])
 
     call = _build_pallas_call(

@@ -23,6 +23,38 @@ def test_oracle_moments_match_closed_form():
         assert abs(std - std_a) / std_a < 1e-5, t
 
 
+def test_power_sum_extraction_well_conditioned():
+    """Centered power sums (engine.analytic_moment_shift): std/skew/kurt
+    extracted from the packed device sums must match float64 statistics of
+    the IDENTICAL final values to ~1e-6 — the uncentered accumulation had
+    a 1e-4 std floor (f32 reassociation noise amplified ~40-600x by the
+    s2/n - mean^2 cancellation)."""
+    from stock_market_monte_carlo_tpu.config import EngineOptions
+    from stock_market_monte_carlo_tpu.models.strategies import (
+        FixedPercentWithdrawal,
+    )
+
+    n, t = 8192 * 8, 360  # multi-chunk so cross-chunk merging is covered
+    opts = EngineOptions(chunk_paths=8192)
+    cases = [
+        (smmc.GaussianReturns(), None),
+        (smmc.GaussianReturns(), FixedPercentWithdrawal(0.5)),
+        (smmc.HistoricalBootstrap.from_csv(), None),
+    ]
+    for model, strategy in cases:
+        kw = {} if strategy is None else {"strategy": strategy}
+        res = smmc.simulate_stats(model, n, t, seed=11, options=opts,
+                                  keep_final_values=True, **kw)
+        f = np.asarray(res.final_values, np.float64)
+        mean, std = f.mean(), f.std(ddof=0)
+        assert abs(res.mean / mean - 1) < 1e-6
+        assert abs(res.std / std - 1) < 1e-6
+        skew = float(((f - mean) ** 3).mean() / std**3)
+        kurt = float(((f - mean) ** 4).mean() / std**4)
+        assert abs(res.moments.skew - skew) < 1e-5 * max(abs(skew), 1.0)
+        assert abs(res.moments.kurtosis / kurt - 1) < 1e-5
+
+
 def test_oracle_t1_is_shifted_normal():
     """One month: V = v0*(1 + r/100), quantiles are exactly normal."""
     import jax.numpy as jnp

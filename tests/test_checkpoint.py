@@ -134,10 +134,10 @@ def test_checkpoint_cross_topology_resume(tmp_path, mesh8):
     # float32 partial sums reassociate across the different chunk split;
     # per-path finals (hence histogram and count) are bit-identical
     np.testing.assert_allclose(resumed.mean, fresh.mean, rtol=1e-6)
-    # variance extraction amplifies the f32 power sums' reassociation
-    # noise ~1000x (s2/n - mean^2 cancellation); 1e-4 is ~30x above the
-    # observed jitter while far below statistical meaning
-    np.testing.assert_allclose(resumed.std, fresh.std, rtol=1e-4)
+    # centered power sums (engine.analytic_moment_shift) keep the
+    # variance extraction well-conditioned across the different chunk
+    # split — the old uncentered floor was 1e-4
+    np.testing.assert_allclose(resumed.std, fresh.std, rtol=1e-6)
     assert resumed.count_below == fresh.count_below
     np.testing.assert_array_equal(
         resumed.histogram_counts, fresh.histogram_counts

@@ -33,9 +33,13 @@ from stock_market_monte_carlo_tpu.models.strategies import (
 PALLAS = EngineOptions(backend="pallas", chunk_paths=KEY_TILE)
 
 
-def _stats_identical(a, b, hist=True):
+def _stats_identical(a, b, hist=True, std_atol=1e-6):
     np.testing.assert_allclose(a.mean, b.mean, rtol=1e-6)
-    np.testing.assert_allclose(a.std, b.std, rtol=1e-4, atol=1e-6)
+    # std_atol: zero-bit-stream configs make every path identical, so the
+    # true variance is 0 and the reported std is sqrt(f32 reassociation
+    # noise) (~1e-2 in currency units) — compare those with an absolute
+    # bar; full-fidelity configs keep the tight relative one
+    np.testing.assert_allclose(a.std, b.std, rtol=1e-6, atol=std_atol)
     assert a.moments.n == b.moments.n
     assert a.moments.min == b.moments.min
     assert a.moments.max == b.moments.max
@@ -106,7 +110,7 @@ def test_sliced_rotation_historical_pallas_sharded(mesh8, historical_table):
                             options=PALLAS, mesh=mesh8)
     assert b.moments.n == n
     assert b.histogram_counts.sum() == n
-    _stats_identical(a, b)
+    _stats_identical(a, b, std_atol=0.05)
 
 
 def test_gaussian_clt_pallas_sharded(mesh8):

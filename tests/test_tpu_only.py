@@ -90,6 +90,36 @@ def test_clt_keep_finals_and_masking():
     )
 
 
+def test_pallas_power_sum_extraction_well_conditioned(historical_table):
+    """Hardware version of test_analytic's conditioning check: std (and
+    skew/kurtosis) extracted from the Pallas kernels' centered partial
+    rows must match float64 statistics of the IDENTICAL finals to <=1e-5
+    (the old uncentered floor was 1e-4; ref contract: the reduceBlock
+    mean/variance pipeline, benchmark_mc_gpu_reduceBlock.cpp:7-26)."""
+    import jax.numpy as jnp
+
+    import stock_market_monte_carlo_tpu as smmc
+
+    n, t = 2**22, 360  # 2 chunks of 2^21
+    cases = [
+        (smmc.GaussianReturns(), "icdf"),
+        (smmc.GaussianReturns(), "clt"),
+        (smmc.HistoricalBootstrap(jnp.asarray(historical_table)), "icdf"),
+    ]
+    for model, sampler in cases:
+        res = smmc.simulate_stats(
+            model, n, t, seed=13,
+            options=_opts(gaussian_sampler=sampler),
+            keep_final_values=True,
+        )
+        f = np.asarray(res.final_values, np.float64)
+        mean, std = f.mean(), f.std(ddof=0)
+        assert abs(res.mean / mean - 1) < 1e-5, sampler
+        assert abs(res.std / std - 1) < 1e-5, sampler
+        kurt = float(((f - mean) ** 4).mean() / std**4)
+        assert abs(res.moments.kurtosis / kurt - 1) < 1e-4, sampler
+
+
 def test_reference_rng_pallas_matches_xla_exactly(historical_table):
     """rng='reference' draws an identical integer stream on the Pallas
     kernel and the XLA engine: per-path finals must agree to float
