@@ -83,6 +83,142 @@ def final_value_distribution(mean_pct: float, std_pct: float,
     return np.exp(log_v), cdf
 
 
+# ---------------------------------------------------------------------------
+# CLT-sampler law: the EXACT distribution the CLT MXU sampler draws from.
+#
+# The kernel's month-z is a weighted sum of 128 i.i.d. uniforms mixed
+# through the vendored bf16 orthogonal Q (ops/pallas_engine._clt_qmatrix):
+# z_j = sum_i w_ij x_i with x ~ U(-1/2, 1/2) and w_ij = q_ij * s/||q_j||,
+# s = sqrt(12/(1 - 2^-32)) — exactly mean 0 / variance 1, with per-column
+# excess kurtosis -(1/120) sum_i w_ij^4 (~ -0.027). These routines compute
+# that law DETERMINISTICALLY via its characteristic function
+# (prod_i sinc(w_i t / 2)) and convolve the month log-growth over the
+# horizon, so tail quantiles at p = 1e-6 can be compared against the
+# exact-normal law with no Monte Carlo noise. (The 2^16-level
+# discretization of x changes Var by the 1 - 2^-32 factor the affine
+# constants already correct for and is otherwise invisible at these
+# scales; the law's bounded support, |z| <= sum|w|/2 ~ 15.7, matters only
+# below p ~ 1e-50.)
+# ---------------------------------------------------------------------------
+
+
+@lru_cache(maxsize=1)
+def clt_column_weights() -> "np.ndarray":
+    """(128 uniforms, 128 columns) f64 mixing weights of the CLT sampler,
+    derived from the same vendored bf16 Q the kernel multiplies by."""
+    from stock_market_monte_carlo_tpu.ops.pallas_engine import _clt_qmatrix
+
+    q = np.asarray(_clt_qmatrix(128)[0], np.float64)
+    colnorm = np.sqrt((q**2).sum(axis=0))
+    s = np.sqrt(12.0 / (1.0 - 2.0**-32))
+    return q * (s / colnorm)[None, :]
+
+
+def clt_z_pdf(weights, n_grid: int = 1 << 14, span: float = 24.0):
+    """(x, pdf): density of z = sum_i w_i x_i, x ~ U(-1/2,1/2) i.i.d.,
+    by inverse FFT of the product-of-sinc characteristic function."""
+    w = np.asarray(weights, np.float64)
+    dx = 2.0 * span / n_grid
+    k = np.arange(n_grid // 2 + 1)
+    t = 2.0 * np.pi * k / (n_grid * dx)
+    arg = np.outer(w, t) / 2.0
+    sc = np.ones_like(arg)
+    nz = np.abs(arg) > 1e-300
+    sc[nz] = np.sin(arg[nz]) / arg[nz]
+    phi = sc.prod(axis=0)
+    pdf = np.fft.irfft(phi * np.exp(-1j * t * (-span)), n=n_grid) / dx
+    return -span + dx * np.arange(n_grid), np.maximum(pdf, 0.0)
+
+
+@lru_cache(maxsize=8)
+def clt_final_value_distribution(mean_pct: float, std_pct: float,
+                                 n_periods: int, initial_capital: float,
+                                 n_grid: int = 1 << 13,
+                                 law: str = "clt"):
+    """(values, cdf): the final-value distribution under ``law``.
+
+    ``law='clt'`` uses the CLT sampler's per-column z densities (month t
+    draws column t mod 128 of a fresh block — pallas_engine kernel
+    layout); ``law='normal'`` runs the exact standard normal through the
+    IDENTICAL grid/FFT pipeline, so differencing the two isolates the
+    sampler's law deviation with grid artifacts cancelled.
+
+    The T-fold convolution runs on a grid centered at the analytic month
+    mean with wraparound: the sum's support is folded modulo the grid
+    width, which is chosen at ~40 total sigmas so the folded mass is
+    below ~1e-290 — exact for every quantile of practical interest.
+    """
+    if law not in ("clt", "normal"):
+        raise ValueError(f"unknown law {law!r}")
+    a = 1.0 + mean_pct / 100.0
+    b = std_pct / 100.0
+    zspan = 16.0
+    if a - zspan * b <= 0:
+        raise ValueError(
+            "log-growth undefined for the CLT-law oracle: "
+            f"mean={mean_pct}, std={std_pct}"
+        )
+    y_lo, y_hi = np.log(a - zspan * b), np.log(a + zspan * b)
+    y = np.linspace(y_lo, y_hi, n_grid)
+    dy = y[1] - y[0]
+    ey = np.exp(y)
+    zy = (ey - a) / b
+
+    t = n_periods
+    sigma_y = b / a  # ~std of one month's log growth
+    total_width = max(80.0 * sigma_y * np.sqrt(t), 4.0 * (y_hi - y_lo))
+    n_total = int(2 ** np.ceil(np.log2(total_width / dy)))
+    # center each month's pdf at the grid cell nearest its mean and wrap
+    # negative offsets to the top of the array (circular convolution about
+    # the analytic center)
+    mu_y = float(np.log(a) - 0.5 * (b / a) ** 2)  # 2nd-order; any nearby
+    ref_cell = int(np.round((mu_y - y_lo) / dy))
+
+    def month_chf(pz):
+        py = pz * ey / b
+        py /= py.sum() * dy
+        p = np.zeros(n_total)
+        idx = (np.arange(n_grid) - ref_cell) % n_total
+        np.add.at(p, idx, py * dy)
+        return np.fft.rfft(p)
+
+    if law == "normal":
+        pzn = np.exp(-0.5 * zy * zy) / np.sqrt(2.0 * np.pi)
+        chf_total = month_chf(pzn) ** t
+    else:
+        weights = clt_column_weights()
+        mult = np.bincount(np.arange(t) % 128, minlength=128)
+        chf_total = np.ones(n_total // 2 + 1, dtype=complex)
+        for j in range(128):
+            if mult[j] == 0:
+                continue
+            xz, pz_grid = clt_z_pdf(weights[:, j])
+            chf_total *= month_chf(np.interp(zy, xz, pz_grid)) ** int(
+                mult[j]
+            )
+
+    conv = np.maximum(np.fft.irfft(chf_total, n=n_total), 0.0)
+    conv /= conv.sum()
+    # unwrap: cell m is offset (m <= n/2 ? m : m - n) * dy from t*center
+    conv = np.fft.fftshift(conv)
+    offs = (np.arange(n_total) - n_total // 2) * dy
+    log_v = (np.log(initial_capital) + t * (y_lo + ref_cell * dy)) + offs
+    return np.exp(log_v), np.cumsum(conv)
+
+
+def quantiles_from_cdf(values, cdf, qs) -> "np.ndarray":
+    """Log-interpolated quantiles from a (values, cdf) grid pair."""
+    out = np.empty(len(qs))
+    logv = np.log(values)
+    for i, q in enumerate(qs):
+        j = int(np.searchsorted(cdf, q))
+        j = min(max(j, 1), len(cdf) - 1)
+        c0, c1 = cdf[j - 1], cdf[j]
+        frac = (q - c0) / (c1 - c0) if c1 > c0 else 0.5
+        out[i] = np.exp(logv[j - 1] + frac * (logv[j] - logv[j - 1]))
+    return out
+
+
 def final_value_quantiles(mean_pct: float, std_pct: float, n_periods: int,
                           initial_capital: float,
                           qs: Sequence[float]) -> np.ndarray:
