@@ -75,6 +75,19 @@ def main():
                                 target_amount=2000.0, options=o, **kw)
         _ = r.mean
         print(f"  {name:24s} {time.perf_counter() - t0:7.1f} s")
+
+    # fused band kernels (ops/pallas_bands.py): one full-chunk grid each
+    band_jobs = [
+        ("bands gauss", gauss, {}),
+        ("bands historical", hist, {}),
+        ("bands fixed-percent", gauss,
+         {"strategy": FixedPercentWithdrawal(0.25)}),
+    ]
+    for name, model, kw in band_jobs:
+        t0 = time.perf_counter()
+        smmc.simulate_bands(model, CHUNK, T, seed=1, sample_paths=0,
+                            options=opts(), **kw)
+        print(f"  {name:24s} {time.perf_counter() - t0:7.1f} s")
     print("warm done")
 
 

@@ -245,6 +245,8 @@ def visualize(args):
         overlay_normal=getattr(args, "overlay_normal", False),
         live=getattr(args, "live", True),
         interactive=(True if getattr(args, "interactive", False) else None),
+        live_fan=getattr(args, "live_fan", None),
+        fan_frames=getattr(args, "fan_frames", None),
     )
 
 

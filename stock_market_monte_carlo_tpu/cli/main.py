@@ -170,6 +170,14 @@ def main(argv=None):
                    help="after the run, re-query P(final < amount) for "
                         "typed targets (ref slider recompute: "
                         "visualize_returns_cpu.cpp:340-356)")
+    p.add_argument("--live-fan", type=str, default=None, metavar="PNG",
+                   help="render the graphical trajectory fan + exact "
+                        "partial histogram to this PNG, refreshed WHILE "
+                        "the run streams (ref during-run plot: "
+                        "visualize_returns_cpu.cpp:372-404)")
+    p.add_argument("--fan-frames", type=str, default=None, metavar="DIR",
+                   help="with --live-fan: also write numbered frame PNGs "
+                        "here (an animation of the run)")
     p.set_defaults(fn=c.visualize)
 
     p = sub.add_parser(

@@ -74,6 +74,14 @@ class EngineOptions:
     #    withdrawn totals, but measured SLOWER than the icdf fallback
     #    (1.007 s vs 0.563 s at 100M x 360); explicit opt-in.
     gaussian_sampler: str = "icdf"
+    # Device->host dtype for exported trajectories (run(keep_trajectories),
+    # simulate_paths). "bfloat16" halves the transfer bytes — the
+    # bottleneck for keepdata exports in tunnel-bound environments
+    # (65k x 360 measured transfer-bound, RESULTS.md) — at ~3 decimal
+    # digits of per-sample precision: ideal for visualization consumers,
+    # wrong for exact-quantile tests. Values are converted back to f32 on
+    # the host either way.
+    trajectory_dtype: str = "float32"
 
     def __post_init__(self):
         if self.chunk_paths % 8192 != 0:
@@ -85,6 +93,11 @@ class EngineOptions:
             raise ValueError(
                 "gaussian_sampler must be 'icdf', 'clt', or 'clt-prefix', "
                 f"got {self.gaussian_sampler!r}"
+            )
+        if self.trajectory_dtype not in ("float32", "bfloat16"):
+            raise ValueError(
+                "trajectory_dtype must be 'float32' or 'bfloat16', "
+                f"got {self.trajectory_dtype!r}"
             )
 
 

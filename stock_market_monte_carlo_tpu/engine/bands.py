@@ -51,6 +51,20 @@ class TrajectoryBands:
         return self.values[self.quantile_levels.index(level)]
 
 
+def _expand(counts, valid, from_pallas: bool, idx0: int) -> np.ndarray:
+    """Absorb one chunk's device counts as a float64 (T+1, cells) block.
+
+    The Pallas kernel emits months 1..T only (month 0 is the v0 point
+    mass, a host-side constant); the XLA scan emits all T+1 rows."""
+    c = np.asarray(counts, np.float64)
+    if not from_pallas:
+        return c
+    out = np.zeros((c.shape[0] + 1, c.shape[1]), np.float64)
+    out[0, idx0] = float(valid)
+    out[1:] = c
+    return out
+
+
 @partial(jax.jit, static_argnames=("b", "t", "n_bins", "linear"))
 def _chunk_month_hist(model, strategy, root_key, scramble_key, v0,
                       offset, valid, centers, inv_scales, b, t, n_bins,
@@ -159,24 +173,70 @@ def simulate_bands(
     scramble_key = jax.random.fold_in(root_key, 0x50B0)
     v0 = jnp.float32(initial_capital)
 
+    # Fused Pallas path: per-month histograms accumulate INSIDE the month
+    # loop (ops/pallas_bands.py) — measured 35.1 s -> see RESULTS.md for
+    # 100M x 360 — for the kernels that support it; everything else (CPU,
+    # sobol, reference-rng, fixed_amount) uses the XLA scan below. NOTE
+    # the Pallas path draws the stats kernels' hardware-PRNG streams, the
+    # XLA path draws threefry streams: band values agree statistically,
+    # not bit-for-bit (same situation as every stats surface).
+    from stock_market_monte_carlo_tpu.ops import pallas_bands as pb
+
+    use_pallas = (
+        not linear
+        and eng.resolve_backend(options) == "pallas"
+        and pb.bands_supported(model, strategy.kind)
+    )
+    if use_pallas:
+        nb2z = n_bins / (2.0 * Z_RANGE)
+        inv_s = 1.0 / scales
+        coef_a = (inv_s[1:] * nb2z).astype(np.float32)
+        coef_b = ((Z_RANGE - centers[1:] * inv_s[1:]) * nb2z).astype(
+            np.float32
+        )
+        keep = (None if isinstance(strategy, NoWithdrawal)
+                else eng._keep_factors(strategy, n_periods))
+        # the fused kernel never materializes the (B, T) growth buffer, so
+        # the XLA 1-GiB chunk bound does not apply — full 2^24-path chunks
+        # amortize dispatch overhead (the f32 count cap per cell per chunk
+        # still holds: no real cell can exceed the chunk's path count)
+        b = min(options.chunk_paths, 1 << 24)
+        b = max(pb.TILE_PATHS, (b // pb.TILE_PATHS) * pb.TILE_PATHS)
+        # month 0: every valid path sits at v0 — bin it host-side with
+        # the XLA formula (kernel rows cover months 1..T)
+        z0 = (np.log(initial_capital) - centers[0]) * inv_s[0]
+        idx0 = int(np.clip(int(np.floor((z0 + Z_RANGE) * nb2z)) + 1,
+                           0, n_bins + 1))
+
     total = np.zeros((n_periods + 1, n_bins + 2), np.float64)
     done, offset, remaining = 0, 0, n_paths
     pending = None  # (device counts, valid) — fetch overlaps next chunk
     while remaining > 0:
         valid = min(remaining, b)
-        this_b = b if n_paths > b else eng._round_up(valid, eng.KEY_TILE)
-        counts = _chunk_month_hist(
-            model, strategy, root_key, scramble_key, v0,
-            jnp.uint32(offset), jnp.int32(valid), centers_j, inv_scales_j,
-            this_b, n_periods, n_bins, linear,
-        )
+        if use_pallas:
+            this_b = (b if n_paths > b
+                      else eng._round_up(valid, pb.TILE_PATHS))
+            counts = pb.pallas_chunk_month_hist(
+                model, strategy, root_key, v0, jnp.uint32(offset),
+                jnp.int32(valid), coef_a, coef_b, n_periods=n_periods,
+                chunk_shape_b=this_b, n_bins=n_bins, keep=keep,
+            )
+        else:
+            this_b = (b if n_paths > b
+                      else eng._round_up(valid, eng.KEY_TILE))
+            counts = _chunk_month_hist(
+                model, strategy, root_key, scramble_key, v0,
+                jnp.uint32(offset), jnp.int32(valid), centers_j,
+                inv_scales_j, this_b, n_periods, n_bins, linear,
+            )
         if pending is not None:
             # absorb chunk k-1 on the host while chunk k computes — the
             # (T+1, n_bins+2) fetch rides this environment's slow
             # device-to-host path, and the float64 accumulation is the
             # reason counts must cross per chunk (f32 device totals would
             # saturate at 2^24 per bin)
-            total += np.asarray(pending[0], np.float64)
+            total += _expand(pending[0], pending[1], use_pallas, idx0
+                             if use_pallas else 0)
             done += pending[1]
             if progress is not None:
                 progress(done, n_paths)
@@ -184,7 +244,8 @@ def simulate_bands(
         offset += this_b
         remaining -= valid
     if pending is not None:
-        total += np.asarray(pending[0], np.float64)
+        total += _expand(pending[0], pending[1], use_pallas,
+                         idx0 if use_pallas else 0)
         done += pending[1]
         if progress is not None:
             progress(done, n_paths)

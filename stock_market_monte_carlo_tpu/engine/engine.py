@@ -846,13 +846,16 @@ def simulate_final_values(
     return result.final_values
 
 
-@partial(jax.jit, static_argnames=("n_paths", "n_periods"))
+@partial(jax.jit, static_argnames=("n_paths", "n_periods", "dtype"))
 def _paths_jit(model, strategy, root_key, scramble_key, v0, path_offset,
-               n_paths, n_periods):
+               n_paths, n_periods, dtype="float32"):
     growth = sample_growth(
         model, root_key, scramble_key, path_offset, (n_paths, n_periods)
     )
-    return compound_paths(growth, v0, strategy)
+    traj = compound_paths(growth, v0, strategy)
+    if dtype == "bfloat16":
+        traj = traj.astype(jnp.bfloat16)
+    return traj
 
 
 def simulate_paths(
@@ -863,12 +866,20 @@ def simulate_paths(
     seed: int = 0,
     strategy=NoWithdrawal(),
     path_offset: int = 0,
-) -> jax.Array:
-    """v1 semantics: (n_paths, n_periods+1) trajectories, month 0 = capital.
+    dtype: str = "float32",
+) -> np.ndarray:
+    """v1 semantics: (n_paths, n_periods+1) float32 host trajectories,
+    month 0 = capital.
 
     Intended for visualization-scale path counts (the reference likewise
     caps drawn trajectories, examples/visualize_returns_cpu_v2.cpp:176-202);
-    memory is O(n_paths * n_periods).
+    memory is O(n_paths * n_periods). Large exports are dispatched in
+    KEY_TILE-multiple row chunks so each chunk's device->host fetch
+    overlaps the next chunk's compute (counter-based RNG makes the split
+    invisible: identical values to one big call). ``dtype='bfloat16'``
+    transfers half the bytes — the bottleneck for keepdata exports in
+    transfer-bound environments — losing ~3 decimal digits per sample;
+    the returned array is float32 either way.
     """
     est_bytes = 4 * (n_paths + KEY_TILE) * (n_periods + 1) * 3
     if est_bytes > 8 << 30:
@@ -878,15 +889,30 @@ def simulate_paths(
             "use simulate_stats/simulate_final_values for statistics at "
             "scale, or cap the trajectory count (run(keep_trajectories=N))."
         )
+    if dtype not in ("float32", "bfloat16"):
+        raise ValueError(f"dtype must be float32|bfloat16, got {dtype!r}")
     b = _round_up(n_paths, KEY_TILE)
     root_key = jax.random.key(seed)
     scramble_key = jax.random.fold_in(root_key, 0x50B0)
-    traj = _paths_jit(
-        model, strategy, root_key, scramble_key,
-        jnp.float32(initial_capital), jnp.uint32(path_offset),
-        b, n_periods,
-    )
-    return traj[:n_paths]
+    v0 = jnp.float32(initial_capital)
+
+    chunk = 2 * KEY_TILE
+    parts = []
+    for off in range(0, b, chunk):
+        rows = min(chunk, b - off)
+        parts.append(_paths_jit(
+            model, strategy, root_key, scramble_key, v0,
+            jnp.uint32(path_offset + off), rows, n_periods, dtype,
+        ))
+    # all chunks are dispatched (async) before any fetch: chunk k's
+    # transfer rides under chunk k+1's compute
+    out = np.empty((n_paths, n_periods + 1), np.float32)
+    done = 0
+    for part in parts:
+        take = min(part.shape[0], n_paths - done)
+        out[done:done + take] = np.asarray(part[:take], np.float32)
+        done += take
+    return out
 
 
 def simulate(config, model, strategy=NoWithdrawal(),
@@ -924,9 +950,8 @@ def run(
     )
     if keep_trajectories > 0:
         k = min(keep_trajectories, n_paths)
-        result.trajectories = np.asarray(
-            simulate_paths(
-                model, k, n_periods, initial_capital, seed, strategy
-            )
+        result.trajectories = simulate_paths(
+            model, k, n_periods, initial_capital, seed, strategy,
+            dtype=options.trajectory_dtype,
         )
     return result

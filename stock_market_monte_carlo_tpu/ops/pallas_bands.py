@@ -1,0 +1,311 @@
+"""Fused Pallas band kernel: per-month trajectory histograms accumulated
+INSIDE the month loop.
+
+The XLA bands path (engine/bands.py) simulates a chunk, materializes the
+(B, T+1) trajectories in HBM, and scans an XLA one-hot matmul over the
+T+1 months — measured 35.1 s for 100M x 360 (RESULTS.md), dominated by
+the per-month one-hot materialization traffic. Here the running value is
+already in vector registers every month (the same visit the stats kernel
+makes, ops/pallas_engine.py), so each month is binned and counted on the
+spot: log(total) -> per-month affine bin index -> per-row one-hot pieces
+-> one (NHI_PAD, TILE) @ (TILE, 32) NT gemm -> accumulated into a
+VMEM-resident (T * NHI_PAD, 32) month-histogram that persists across
+grid steps (constant output index_map). Only that ~1.8 MB table crosses
+to the host per chunk — the keepdata capability
+(src/simulations.cpp:139-202) at reduceBlock-style transfer cost.
+
+Binning matches engine/bands.py's z-grid exactly up to +/-1 ulp at bin
+edges (idx = floor(logv * A_t + B_t) + 1 clipped, A/B precomputed per
+month on host): single-count edge jitter, the same tolerance the stats
+kernel's histogram carries. Streams are the stats kernels' tile-keyed
+hardware PRNG streams, so band runs are chunk- and shard-invariant (but
+are a DIFFERENT stream family than the XLA threefry bands — parity
+checks are statistical, as everywhere between the two backends).
+
+Supported here: gaussian (exact ICDF) and counter-mode historical
+(sliced-rotation) models with multiplicative strategies. Everything else
+(sobol, reference-rng, fixed_amount) stays on the XLA path.
+"""
+
+from __future__ import annotations
+
+from functools import lru_cache
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from stock_market_monte_carlo_tpu.ops.pallas_engine import (
+    TILE_PATHS,
+    TILE_ROWS,
+    _SQRT2,
+    _bootstrap_idx_exact_i32,
+    _erfinv_poly,
+    _pad_table,
+    _seed_base_i32,
+    _tile_seed_i32,
+    _u23_from_bits,
+    interpret_mode,
+)
+
+LO_W = 32  # lanes of the factorized one-hot gemm
+
+# ablation hook for kernel-stage attribution (docs/optimization_log.md):
+# "nocount" skips binning+counting, "nogemm" builds one-hots but skips the
+# contraction, "nostore" runs the gemm but skips the accumulator RMW
+import os
+
+_ABLATE = os.environ.get("SMMC_BANDS_ABLATE", "")
+
+
+def _nhi_pad(n_cells: int) -> int:
+    """Sublane rows of the hi one-hot: ceil(cells/32), padded to 8."""
+    nhi = -(-n_cells // LO_W)
+    return -(-nhi // 8) * 8
+
+
+def _build_bands_kernel(kind: str, strategy_kind: str, n_periods: int,
+                        n_table_chunks: int, n_cells: int):
+    """Kernel over tiles of TILE_PATHS paths; one grid step per tile.
+
+    Ref layout:
+      iscal (SMEM i32 (8,)): seed_base, tile0, valid, n_table, tail_n, -,-,-
+      fscal (SMEM f32 (8,)): v0, a, b, -,-,-,-,-
+      ab    (SMEM f32 (T, 2)): per-month bin coefficients A_t, B_t
+      [table (C,128) f32 VMEM]            historical
+      [keep (T,1) f32 SMEM]               percent strategies
+      mhist (T*NHI_PAD, LO_W) f32 VMEM out — constant index_map, so the
+        block persists across the sequential TPU grid and accumulates;
+        zeroed at pid == 0.
+    """
+    is_hist = kind.endswith("historical")
+    has_keep = strategy_kind in ("fixed_percent", "variable_percent")
+    nhi_pad = _nhi_pad(n_cells + 1)  # +1: discard cell for masked lanes
+    discard = n_cells
+
+    def kernel(*refs):
+        it = iter(refs)
+        iscal = next(it)
+        fscal = next(it)
+        ab_ref = next(it)
+        table_ref = next(it) if is_hist else None
+        keep_ref = next(it) if has_keep else None
+        mhist_ref = next(it)
+
+        pid = pl.program_id(0)
+        tile = iscal[1] + pid
+        v0, a, b = fscal[0], fscal[1], fscal[2]
+        pltpu.prng_seed(_tile_seed_i32(iscal[0], tile))
+
+        rr = jax.lax.broadcasted_iota(jnp.int32, (TILE_ROWS, 128), 0)
+        ll = jax.lax.broadcasted_iota(jnp.int32, (TILE_ROWS, 128), 1)
+        local_id = pid * TILE_PATHS + rr * 128 + ll
+        mask = local_id < iscal[2]
+
+        @pl.when(pid == 0)
+        def _init():
+            mhist_ref[:] = jnp.zeros_like(mhist_ref)
+
+        if is_hist:
+            rows = [
+                jnp.broadcast_to(
+                    table_ref[c, :][None, :], (TILE_ROWS, 128)
+                )
+                for c in range(n_table_chunks)
+            ]
+            n_i32 = iscal[3]
+            tail_n = iscal[4]
+            n_valid = jnp.where(
+                ll < tail_n, jnp.int32(n_table_chunks),
+                jnp.int32(n_table_chunks - 1),
+            )
+
+            def growth(t):
+                # sliced-rotation one-gather bootstrap — identical recipe
+                # (and stream) to ops/pallas_engine._build_kernel
+                del t
+                w_bits = pltpu.prng_random_bits((TILE_ROWS, 128))
+                r_res = w_bits * n_i32
+                cprime = _bootstrap_idx_exact_i32(r_res, n_valid)
+                comb = rows[0]
+                for c in range(1, n_table_chunks):
+                    comb = jnp.where(cprime == c, rows[c], comb)
+                idx_dest = _bootstrap_idx_exact_i32(w_bits, n_i32)
+                b_row = w_bits[:, 0:1] & jnp.int32(127)
+                w_rot = (ll + b_row) & jnp.int32(127)
+                w_col = jnp.where(idx_dest < tail_n, idx_dest, w_rot)
+                return jnp.take_along_axis(comb, w_col, axis=1)
+        else:
+            def growth(t):
+                del t
+                u = _u23_from_bits(
+                    pltpu.prng_random_bits((TILE_ROWS, 128))
+                )
+                z = jnp.float32(_SQRT2) * _erfinv_poly(2.0 * u - 1.0)
+                return a + b * z
+
+        rio = jax.lax.broadcasted_iota(jnp.int32, (nhi_pad, 128), 0)
+        lio = jax.lax.broadcasted_iota(jnp.int32, (LO_W, 128), 0)
+
+        def bin_and_count(t, tc, total):
+            # month t's counts (clamped row tc); dead months (t >= T) and
+            # masked lanes fall into the discard cell of row tc
+            if _ABLATE == "nocount":
+                return
+            logv = jnp.log(jnp.maximum(total, 1e-37))
+            idx = (jnp.floor(logv * ab_ref[tc, 0] + ab_ref[tc, 1])
+                   .astype(jnp.int32) + 1)
+            idx = jnp.clip(idx, 0, n_cells - 1)
+            live = jnp.logical_and(mask, t < n_periods)
+            idx = jnp.where(live, idx, discard)
+            hi_b = idx >> 5
+            lo_b = idx & (LO_W - 1)
+            oh_hi = jnp.concatenate(
+                [(hi_b[r:r + 1, :] == rio).astype(jnp.bfloat16)
+                 for r in range(TILE_ROWS)], axis=1,
+            )
+            oh_lo = jnp.concatenate(
+                [(lo_b[r:r + 1, :] == lio).astype(jnp.bfloat16)
+                 for r in range(TILE_ROWS)], axis=1,
+            )
+            if _ABLATE == "nogemm":
+                mhist_ref[0:8, :] = (
+                    mhist_ref[0:8, :]
+                    + oh_hi[0:8, 0:LO_W].astype(jnp.float32)
+                    + oh_lo[0:8, 0:LO_W].astype(jnp.float32)
+                )
+                return
+            c = jax.lax.dot_general(
+                oh_hi, oh_lo, (((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )
+            if _ABLATE == "nostore":
+                mhist_ref[0:nhi_pad, :] = mhist_ref[0:nhi_pad, :] + c
+                return
+            base = tc * nhi_pad
+            mhist_ref[pl.ds(base, nhi_pad), :] = (
+                mhist_ref[pl.ds(base, nhi_pad), :] + c
+            )
+
+        UNROLL = 4
+        n_iters = -(-n_periods // UNROLL)
+        v0_tile = jnp.full((TILE_ROWS, 128), 1.0, jnp.float32) * v0
+
+        def body(i, total):
+            for s in range(UNROLL):
+                t = i * UNROLL + s
+                tc = jnp.minimum(t, n_periods - 1)
+                g = growth(tc)
+                if has_keep:
+                    g = g * keep_ref[tc, 0]
+                new_total = total * g
+                total = jnp.where(t < n_periods, new_total, total)
+                bin_and_count(t, tc, total)
+            return total
+
+        jax.lax.fori_loop(0, n_iters, body, v0_tile)
+
+    return kernel
+
+
+@lru_cache(maxsize=16)
+def _build_bands_call(kind: str, strategy_kind: str, n_periods: int,
+                      n_table_chunks: int, n_cells: int, ntiles: int,
+                      interpret):
+    kernel = _build_bands_kernel(kind, strategy_kind, n_periods,
+                                 n_table_chunks, n_cells)
+    nhi_pad = _nhi_pad(n_cells + 1)
+    in_specs = [
+        pl.BlockSpec(memory_space=pltpu.SMEM),  # iscal
+        pl.BlockSpec(memory_space=pltpu.SMEM),  # fscal
+        pl.BlockSpec(memory_space=pltpu.SMEM),  # ab
+    ]
+    if kind.endswith("historical"):
+        in_specs.append(pl.BlockSpec(memory_space=pltpu.VMEM))
+    if strategy_kind in ("fixed_percent", "variable_percent"):
+        in_specs.append(pl.BlockSpec(memory_space=pltpu.SMEM))
+    out_specs = pl.BlockSpec(
+        (n_periods * nhi_pad, LO_W), lambda i: (0, 0),
+        memory_space=pltpu.VMEM,
+    )
+    out_shape = jax.ShapeDtypeStruct(
+        (n_periods * nhi_pad, LO_W), jnp.float32
+    )
+    return pl.pallas_call(
+        kernel,
+        grid=(ntiles,),
+        in_specs=in_specs,
+        out_specs=out_specs,
+        out_shape=out_shape,
+        interpret=interpret,
+    )
+
+
+def bands_supported(model, strategy_kind: str) -> bool:
+    return (
+        model.kind in ("gaussian", "historical")
+        and getattr(model, "rng", "counter") == "counter"
+        and strategy_kind in ("none", "fixed_percent", "variable_percent")
+    )
+
+
+def pallas_chunk_month_hist(model, strategy, root_key, v0, path_offset,
+                            valid, coef_a, coef_b, *, n_periods,
+                            chunk_shape_b, n_bins, keep=None):
+    """(T, n_bins+2) month-histogram counts for months 1..T of one chunk.
+
+    ``coef_a``/``coef_b``: (T,) per-month bin coefficients with
+    idx = clip(floor(logv * A_t + B_t) + 1, 0, n_bins+1) reproducing
+    engine/bands.py's z-grid. Month 0 (every path at v0) is a host-side
+    constant and not computed here.
+    """
+    assert chunk_shape_b % TILE_PATHS == 0, (chunk_shape_b, TILE_PATHS)
+    ntiles = chunk_shape_b // TILE_PATHS
+    n_cells = n_bins + 2
+    nhi_pad = _nhi_pad(n_cells + 1)
+    interpret = interpret_mode(model.kind)
+
+    operands = []
+    n_table = 0
+    n_table_chunks = 0
+    if model.kind.endswith("historical"):
+        table2d, n_table = _pad_table(model.returns_pct)
+        n_table_chunks = int(table2d.shape[0])
+        operands.append(table2d)
+    if keep is not None:
+        operands.append(jnp.asarray(keep, jnp.float32).reshape(-1, 1))
+
+    tail_n = n_table - 128 * (n_table_chunks - 1) if n_table else 0
+    iscal = jnp.stack([
+        _seed_base_i32(root_key),
+        jax.lax.bitcast_convert_type(
+            jnp.asarray(path_offset, jnp.uint32) // jnp.uint32(TILE_PATHS),
+            jnp.int32,
+        ),
+        jnp.asarray(valid, jnp.int32),
+        jnp.asarray(n_table, jnp.int32),
+        jnp.asarray(tail_n, jnp.int32),
+        jnp.int32(0), jnp.int32(0), jnp.int32(0),
+    ])
+    mean = getattr(model, "mean_pct", 0.0)
+    std = getattr(model, "std_pct", 0.0)
+    fscal = jnp.stack([
+        jnp.asarray(v0, jnp.float32),
+        1.0 + jnp.asarray(mean, jnp.float32) * 0.01,
+        jnp.asarray(std, jnp.float32) * 0.01,
+        jnp.float32(0), jnp.float32(0), jnp.float32(0), jnp.float32(0),
+        jnp.float32(0),
+    ])
+    ab = jnp.stack([
+        jnp.asarray(coef_a, jnp.float32), jnp.asarray(coef_b, jnp.float32)
+    ], axis=1)
+
+    strategy_kind = strategy.kind if keep is not None else "none"
+    call = _build_bands_call(
+        model.kind, strategy_kind, n_periods, n_table_chunks, n_cells,
+        ntiles, interpret,
+    )
+    mhist = call(iscal, fscal, ab, *operands)
+    return mhist.reshape(n_periods, nhi_pad * LO_W)[:, :n_cells]

@@ -240,7 +240,9 @@ def live_visualize(n_months: int, n_simulations: int,
                    overlay_normal: bool = False,
                    live: bool = True,
                    interactive: Optional[bool] = None,
-                   stream_out=None):
+                   stream_out=None,
+                   live_fan: Optional[str] = None,
+                   fan_frames: Optional[str] = None):
     """``overlay_normal`` adds the CLT normal-pdf curve over the exact
     final-value histogram — what the reference's
     visualize_returns_distribution_gpu_reduceBlock GUI attempted from block
@@ -251,6 +253,10 @@ def live_visualize(n_months: int, n_simulations: int,
     ``live=True`` attaches a :class:`LiveDashboard` that redraws exact
     partial statistics while the run streams; ``interactive`` (default:
     auto when stdin is a TTY) opens the target re-query prompt afterwards.
+    ``live_fan`` additionally renders the GRAPHICAL fan + histogram to a
+    PNG refreshed during the run (the reference GUI's during-run plot,
+    visualize_returns_cpu.cpp:372-404 — see viz/live_fan.py); ``fan_frames``
+    also collects numbered frame files.
     """
     import stock_market_monte_carlo_tpu as smmc
     from stock_market_monte_carlo_tpu.viz.plots import fan_chart
@@ -261,8 +267,23 @@ def live_visualize(n_months: int, n_simulations: int,
         model = smmc.GaussianReturns()
 
     dashboard = LiveDashboard(out=stream_out) if live else None
+    fan = None
+    if live_fan:
+        from stock_market_monte_carlo_tpu.viz.live_fan import LiveFanFigure
+
+        fan = LiveFanFigure(
+            model, n_months, initial_capital=1000.0, seed=seed,
+            target=target, n_curves=min(n_curves, n_simulations),
+            out_path=live_fan, frames_dir=fan_frames,
+        )
+    if dashboard is not None and fan is not None:
+        from stock_market_monte_carlo_tpu.viz.live_fan import FanoutStream
+
+        stream = FanoutStream(dashboard, fan)
+    else:
+        stream = dashboard if fan is None else fan
     progress = None
-    if not live:
+    if not live and fan is None:
         from stock_market_monte_carlo_tpu.engine.progress import (
             TerminalProgress,
         )
@@ -271,9 +292,13 @@ def live_visualize(n_months: int, n_simulations: int,
 
     res = smmc.run(
         model, n_simulations, n_months, initial_capital=1000.0, seed=seed,
-        target_amount=target, progress=progress, stream=dashboard,
+        target_amount=target, progress=progress, stream=stream,
         keep_trajectories=min(n_curves, n_simulations),
     )
+    if fan is not None:
+        print(f"live fan: {fan.frames} frames rendered to {live_fan}"
+              + (f" (+ {fan_frames}/)" if fan_frames else ""))
+        fan.close()
     print(res.summary())
 
     # trim the histogram to its occupied range, then decimate; pad the

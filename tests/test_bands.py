@@ -76,6 +76,47 @@ def test_bands_progress_callback():
     assert calls[-1][0] == 2 * KEY_TILE
 
 
+def test_fused_pallas_bands_composition():
+    """The fused Pallas band kernel (ops/pallas_bands.py) through the
+    TPU-semantics interpreter: exact per-month mass accounting (every
+    month row holds exactly n paths; padding and dead months land in the
+    discard cell), ragged chunk, historical model + withdrawal strategy.
+    Statistical band parity vs the XLA path runs on hardware
+    (tests/test_tpu_only.py)."""
+    from stock_market_monte_carlo_tpu.models.strategies import (
+        FixedPercentWithdrawal,
+    )
+
+    opts = EngineOptions(backend="pallas", chunk_paths=KEY_TILE)
+    h = smmc.HistoricalBootstrap.from_csv()
+    n, t = KEY_TILE + 100, 5   # ragged -> masked lanes exercise discard
+    b = smmc.simulate_bands(h, n, t, seed=2,
+                            strategy=FixedPercentWithdrawal(1.0),
+                            options=opts, n_bins=256, sample_paths=0)
+    assert b.month_hist.shape == (t + 1, 256 + 2)
+    np.testing.assert_array_equal(b.month_hist.sum(axis=1),
+                                  np.full(t + 1, n))
+    assert np.isfinite(b.values).all()
+    # month 0 is the exact v0 point mass
+    assert b.month_hist[0].max() == n
+
+
+def test_fused_pallas_bands_chunk_invariance():
+    """Counts must be identical across chunk splits (tile-keyed streams),
+    through the Pallas path."""
+    h = smmc.HistoricalBootstrap.from_csv()
+    n, t = 2 * KEY_TILE, 4
+    a = smmc.simulate_bands(
+        h, n, t, seed=5, n_bins=256, sample_paths=0,
+        options=EngineOptions(backend="pallas", chunk_paths=KEY_TILE),
+    )
+    b = smmc.simulate_bands(
+        h, n, t, seed=5, n_bins=256, sample_paths=0,
+        options=EngineOptions(backend="pallas", chunk_paths=2 * KEY_TILE),
+    )
+    np.testing.assert_array_equal(a.month_hist, b.month_hist)
+
+
 def test_visualize_bands_cli(tmp_path, monkeypatch):
     from stock_market_monte_carlo_tpu.cli.main import main
 

@@ -390,3 +390,19 @@ def test_sobol_horizon_beyond_model_dims_rejected():
     m = smmc.SobolGaussianReturns.create(n_periods=24)
     with pytest.raises(ValueError, match="Sobol"):
         smmc.simulate_stats(m, 8192, 48)
+
+
+def test_simulate_paths_bf16_transfer_and_chunked_fetch():
+    """Trajectory export: the chunked dispatch returns identical values
+    to offset composition, and bfloat16 transfer stays within bf16
+    rounding of the float32 export."""
+    KEY_TILE = eng.KEY_TILE
+    n, t = 2 * KEY_TILE + 100, 18
+    full = smmc.simulate_paths(GAUSS, n, t, seed=9)
+    assert full.shape == (n, t + 1) and full.dtype == np.float32
+    part = smmc.simulate_paths(GAUSS, n - KEY_TILE, t, seed=9,
+                               path_offset=KEY_TILE)
+    np.testing.assert_array_equal(full[KEY_TILE:], part)
+    bf = smmc.simulate_paths(GAUSS, n, t, seed=9, dtype="bfloat16")
+    assert bf.dtype == np.float32
+    np.testing.assert_allclose(bf, full, rtol=8e-3)  # bf16 has ~8 bits

@@ -150,3 +150,38 @@ def test_no_live_interactive_query(monkeypatch, tmp_path):
                    live=False, interactive=True, save="x.png")
     text = out.getvalue()
     assert "P(final < 1,000,000,000,000.00) = 100.0000%" in text
+
+
+def test_live_fan_renders_frames_during_run(tmp_path):
+    """The graphical fan must update WHILE the run streams: multiple
+    chunks -> multiple PNG frames, curves accumulating across frames, the
+    final frame drawing the full capped set (the reference GUI's
+    during-run fan, visualize_returns_cpu.cpp:372-404)."""
+    from stock_market_monte_carlo_tpu.viz.live_fan import LiveFanFigure
+
+    fan = LiveFanFigure(
+        GAUSS, 24, seed=3, target=1100.0, n_curves=30,
+        out_path=str(tmp_path / "fan.png"),
+        frames_dir=str(tmp_path / "frames"),
+        curves_per_frame=10, min_interval_s=0.0,
+    )
+    smmc.simulate_stats(
+        GAUSS, 3 * KEY_TILE, 24, seed=3, target_amount=1100.0,
+        options=EngineOptions(chunk_paths=KEY_TILE), stream=fan,
+    )
+    fan.close()
+    frames = sorted((tmp_path / "frames").iterdir())
+    assert len(frames) >= 3          # one per absorbed chunk
+    assert (tmp_path / "fan.png").exists()
+    assert fan.curves_done == 30     # final frame completed the fan
+    # frames grow as curves/histogram fill in (PNG size is a proxy)
+    assert frames[0].stat().st_size > 0
+
+
+def test_live_fan_cli_flag(tmp_path, monkeypatch):
+    from stock_market_monte_carlo_tpu.cli.main import main
+
+    monkeypatch.chdir(tmp_path)
+    main(["visualize", "12", "20000", "--model", "gaussian", "--no-live",
+          "--live-fan", str(tmp_path / "live.png"), "--curves", "8"])
+    assert (tmp_path / "live.png").exists()
