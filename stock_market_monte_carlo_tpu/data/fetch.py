@@ -12,6 +12,33 @@ from __future__ import annotations
 import os
 
 
+def monthly_returns_from_daily(data):
+    """(df_monthly, monthly_returns) from a yfinance-shaped daily frame.
+
+    The parsing/transform half of the fetch (ref: get_data.py:33-68),
+    separated so it can be tested against RECORDED response shapes
+    without network: handles modern yfinance's ticker-level MultiIndex
+    columns (which would otherwise grow a second CSV header row and break
+    the ``Date,returns`` schema), prefers 'Adj Close' with a 'Close'
+    fallback, monthly-mean resamples, and emits percent changes with a
+    leading NaN row and a monthly PeriodIndex named Date.
+    """
+    import pandas as pd
+
+    if isinstance(data.columns, pd.MultiIndex):
+        data = data.copy()
+        data.columns = data.columns.get_level_values(0)
+    col = "Adj Close" if "Adj Close" in data else "Close"
+    df_monthly = data[[col]].resample("1ME").mean()
+
+    monthly_returns = 100 * df_monthly.pct_change()
+    monthly_returns = monthly_returns.rename(columns={col: "returns"})
+    monthly_returns.columns = ["returns"]  # belt and braces vs MultiIndex
+    monthly_returns.index = monthly_returns.index.to_period("M")
+    monthly_returns.index.name = "Date"
+    return data[[col]], df_monthly, monthly_returns
+
+
 def fetch_sp500(out_csv: str = "data/SP500_monthly_returns.csv",
                 start: str = "1928-01-01", end: str = "2022-01-01",
                 plot: bool = True) -> str:
@@ -25,32 +52,20 @@ def fetch_sp500(out_csv: str = "data/SP500_monthly_returns.csv",
             "sp500_monthly_returns_synthetic.csv) or install yfinance "
             "on a machine with network access."
         ) from e
-    import pandas as pd
 
     print("- Downloading S&P500 data from Yahoo finance...")
-    # auto_adjust=False keeps the reference's 'Adj Close' column; modern
-    # yfinance also returns ticker-level MultiIndex columns by default,
-    # which would make the CSV grow a second header row and break the
-    # Date,returns schema — flatten them first
+    # auto_adjust=False keeps the reference's 'Adj Close' column
     data = yf.download("^GSPC", start, end, auto_adjust=False)
-    if isinstance(data.columns, pd.MultiIndex):
-        data.columns = data.columns.get_level_values(0)
-    col = "Adj Close" if "Adj Close" in data else "Close"
-    df_monthly = data[[col]].resample("1ME").mean()
 
     print("- Generating CSV file with monthly returns...")
-    monthly_returns = 100 * df_monthly.pct_change()
-    monthly_returns = monthly_returns.rename(columns={col: "returns"})
-    monthly_returns.columns = ["returns"]  # belt and braces vs MultiIndex
-    monthly_returns.index = monthly_returns.index.to_period("M")
-    monthly_returns.index.name = "Date"
+    df_daily, df_monthly, monthly_returns = monthly_returns_from_daily(data)
 
     os.makedirs(os.path.dirname(out_csv) or ".", exist_ok=True)
     monthly_returns.to_csv(out_csv)
     print(f"- Saved CSV of monthly historical returns to {out_csv!r}")
 
     if plot:
-        _overview_plots(data[[col]], df_monthly, monthly_returns,
+        _overview_plots(df_daily, df_monthly, monthly_returns,
                         os.path.dirname(out_csv) or ".")
     print("Done!")
     return out_csv

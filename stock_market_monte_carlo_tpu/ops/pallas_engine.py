@@ -276,6 +276,17 @@ def _build_kernel(kind: str, strategy_kind: str, n_periods: int,
                 val = jnp.where(chunk == c, g, val)
             return val
 
+        import os as _os
+
+        _hist_ablate = _os.environ.get("SMMC_HIST_ABLATE", "")
+        # kernel-stage attribution for the roofline analysis
+        # (experiments/exp_hist_roofline.py): "nosource" drops the
+        # source-role chunk selection (always rows[0] — WRONG stats),
+        # "nogather" drops the within-row gather, "drawonly" maps bits
+        # straight to a growth factor, "nodraw" uses a constant growth.
+        # Each variant is a fresh process+compile; results are invalid
+        # statistically and exist only for timing deltas.
+
         if is_hist and not is_sobol and rng_mode == "counter":
             # "Sliced rotation" bootstrap — ONE within-row gather per
             # path-month instead of ceil(n_table/128): each lane plays two
@@ -311,17 +322,24 @@ def _build_kernel(kind: str, strategy_kind: str, n_periods: int,
             def growth(t):
                 del t
                 w_bits = pltpu.prng_random_bits((TILE_ROWS, 128))
+                if _hist_ablate == "nodraw":
+                    return rows[0]
+                if _hist_ablate == "drawonly":
+                    return 1.0 + w_bits.astype(jnp.float32) * 1e-12
                 # source: combined[s] = G[c'_s, s]
                 r_res = w_bits * n_i32           # wrap mul == low 32 bits
                 cprime = _bootstrap_idx_exact_i32(r_res, n_valid)
                 comb = rows[0]
-                for c in range(1, k_chunks):
-                    comb = jnp.where(cprime == c, rows[c], comb)
+                if _hist_ablate != "nosource":
+                    for c in range(1, k_chunks):
+                        comb = jnp.where(cprime == c, rows[c], comb)
                 # dest: column choice
                 idx_dest = _bootstrap_idx_exact_i32(w_bits, n_i32)
                 b_row = w_bits[:, 0:1] & jnp.int32(127)
                 w_rot = (ll + b_row) & jnp.int32(127)
                 w_col = jnp.where(idx_dest < tail_n, idx_dest, w_rot)
+                if _hist_ablate == "nogather":
+                    return comb + w_col.astype(jnp.float32) * 1e-12
                 return jnp.take_along_axis(comb, w_col, axis=1)
         else:
             def growth(t):
@@ -361,8 +379,14 @@ def _build_kernel(kind: str, strategy_kind: str, n_periods: int,
         # withdrawal state.
         UNROLL = 8  # 16 measured slower for the sliced historical kernel (0.585 vs 0.545 s)
         n_iters = -(-n_periods // UNROLL)
+        # when the horizon fills the unroll exactly (e.g. 360 = 45*8),
+        # every unrolled month is live: the dead-month select pair and the
+        # index clamp are provably no-ops and are elided
+        exact_fit = n_periods % UNROLL == 0
 
         def guarded_step(t, total, wsum, gfac):
+            if exact_fit:
+                return apply_strategy(t, total, wsum, gfac)
             tc = jnp.minimum(t, n_periods - 1)
             new_total, new_wsum = apply_strategy(tc, total, wsum, gfac)
             live = t < n_periods
@@ -383,7 +407,8 @@ def _build_kernel(kind: str, strategy_kind: str, n_periods: int,
                     st_new = _xorshift_i32(st)
                     # freeze the stream on padded months so draw counts
                     # match the reference exactly
-                    st = jnp.where(t < n_periods, st_new, st)
+                    st = (st_new if exact_fit
+                          else jnp.where(t < n_periods, st_new, st))
                     gfac = table_lookup(
                         _bootstrap_idx_exact_i32(st, n_i32)
                     )
@@ -402,7 +427,7 @@ def _build_kernel(kind: str, strategy_kind: str, n_periods: int,
                     # clamp the month index for table-indexed reads (sobol
                     # direction rows, keep factors); the guard masks the
                     # padded months' effects
-                    tc = jnp.minimum(t, n_periods - 1)
+                    tc = t if exact_fit else jnp.minimum(t, n_periods - 1)
                     total, wsum = guarded_step(t, total, wsum, growth(tc))
                 return total, wsum
 
