@@ -116,6 +116,62 @@ def _chunk_month_hist(model, strategy, root_key, scramble_key, v0,
     return counts[:, : n_bins + 2]
 
 
+_BAND_MESH_FN_CACHE = {}
+
+
+def _band_mesh_fn(mesh, use_pallas, model_kind, rng, strategy_kind,
+                  n_periods, chunk_b, n_bins, linear, has_keep):
+    """jit(shard_map(...)) of a band chunk fn over the path axis: each
+    device computes its shard's month-histogram and the counts merge with
+    one psum over ICI — the multi-device band launcher. Signature of the
+    returned fn: (offsets, valids, model, strategy, root_key,
+    scramble_key, v0, aux_a, aux_b, keep) with offsets/valids
+    P("paths")-sharded and everything else replicated."""
+    from jax.sharding import PartitionSpec as P
+
+    mesh_key = (mesh.axis_names, mesh.devices.shape,
+                tuple(d.id for d in mesh.devices.flat))
+    key = (use_pallas, model_kind, rng, strategy_kind, n_periods,
+           chunk_b, n_bins, linear, has_keep, mesh_key)
+    fn = _BAND_MESH_FN_CACHE.get(key)
+    if fn is not None:
+        return fn
+    axis = mesh.axis_names[0]
+
+    if use_pallas:
+        from stock_market_monte_carlo_tpu.ops import pallas_bands as pb
+
+        def base(off, val, model, strategy, root_key, scramble_key, v0,
+                 aux_a, aux_b, keep):
+            del scramble_key
+            return pb.pallas_chunk_month_hist(
+                model, strategy, root_key, v0, off, val, aux_a, aux_b,
+                n_periods=n_periods, chunk_shape_b=chunk_b, n_bins=n_bins,
+                keep=keep if has_keep else None,
+            )
+    else:
+        def base(off, val, model, strategy, root_key, scramble_key, v0,
+                 aux_a, aux_b, keep):
+            del keep
+            return _chunk_month_hist(
+                model, strategy, root_key, scramble_key, v0, off, val,
+                aux_a, aux_b, chunk_b, n_periods, n_bins, linear,
+            )
+
+    def device_fn(offsets, valids, *rest):
+        return jax.lax.psum(base(offsets[0], valids[0], *rest), axis)
+
+    rep = P()
+    fn = jax.jit(jax.shard_map(
+        device_fn, mesh=mesh,
+        in_specs=(P(axis), P(axis)) + (rep,) * 8,
+        out_specs=rep,
+        check_vma=False,  # same contract note as engine._get_chunk_fn
+    ))
+    _BAND_MESH_FN_CACHE[key] = fn
+    return fn
+
+
 def simulate_bands(
     model,
     n_paths: int,
@@ -128,11 +184,15 @@ def simulate_bands(
     n_bins: int = 1024,
     options: EngineOptions = EngineOptions(),
     progress=None,
+    mesh=None,
 ) -> TrajectoryBands:
     """Percentile bands over the full horizon for any number of paths.
 
     Host transfer is O(T * n_bins) regardless of n_paths — the capability
     of the reference's store-everything v1 engine at v2's memory cost.
+    With a ``mesh``, each chunk shards over the path axis and the
+    per-month histograms merge with a psum over ICI (counter-based
+    streams make the result identical to the single-device run).
     """
     from stock_market_monte_carlo_tpu.engine import engine as eng
 
@@ -208,22 +268,65 @@ def simulate_bands(
         idx0 = int(np.clip(int(np.floor((z0 + Z_RANGE) * nb2z)) + 1,
                            0, n_bins + 1))
 
+    n_dev = 1 if mesh is None else mesh.size
+    tile = pb.TILE_PATHS if use_pallas else eng.KEY_TILE
+    per_dispatch = b * n_dev
+    if mesh is not None:
+        from jax.sharding import NamedSharding, PartitionSpec as P
+
+        shard = NamedSharding(mesh, P(mesh.axis_names[0]))
+        if use_pallas:
+            aux_a = jnp.asarray(coef_a)
+            aux_b = jnp.asarray(coef_b)
+            has_keep = keep is not None
+            keep_arr = (jnp.asarray(keep, jnp.float32) if has_keep
+                        else jnp.zeros((1,), jnp.float32))
+        else:
+            aux_a, aux_b = centers_j, inv_scales_j
+            has_keep = False
+            keep_arr = jnp.zeros((1,), jnp.float32)
+
     total = np.zeros((n_periods + 1, n_bins + 2), np.float64)
     done, offset, remaining = 0, 0, n_paths
     pending = None  # (device counts, valid) — fetch overlaps next chunk
     while remaining > 0:
-        valid = min(remaining, b)
-        if use_pallas:
-            this_b = (b if n_paths > b
-                      else eng._round_up(valid, pb.TILE_PATHS))
+        valid = min(remaining, per_dispatch)
+        if n_paths > per_dispatch:
+            this_b = b
+        else:
+            this_b = eng._round_up(
+                eng._round_up(valid, n_dev) // n_dev, tile
+            )
+        if mesh is not None:
+            fn = _band_mesh_fn(
+                mesh, use_pallas, model.kind,
+                getattr(model, "rng", "counter"), strategy.kind,
+                n_periods, this_b, n_bins, linear,
+                has_keep,
+            )
+            np_off = np.uint32(offset) + np.uint32(this_b) * np.arange(
+                n_dev, dtype=np.uint32
+            )
+            np_val = np.clip(
+                np.int64(valid) - np.int64(this_b)
+                * np.arange(n_dev, dtype=np.int64),
+                0, this_b,
+            ).astype(np.int32)
+            offsets = jax.make_array_from_callback(
+                (n_dev,), shard, lambda i: np_off[i]
+            )
+            valids = jax.make_array_from_callback(
+                (n_dev,), shard, lambda i: np_val[i]
+            )
+            counts = fn(offsets, valids, model, strategy, root_key,
+                        scramble_key, v0, aux_a, aux_b, keep_arr)
+        elif use_pallas:
             counts = pb.pallas_chunk_month_hist(
                 model, strategy, root_key, v0, jnp.uint32(offset),
                 jnp.int32(valid), coef_a, coef_b, n_periods=n_periods,
                 chunk_shape_b=this_b, n_bins=n_bins, keep=keep,
             )
         else:
-            this_b = (b if n_paths > b
-                      else eng._round_up(valid, eng.KEY_TILE))
             counts = _chunk_month_hist(
                 model, strategy, root_key, scramble_key, v0,
                 jnp.uint32(offset), jnp.int32(valid), centers_j,
@@ -241,7 +344,7 @@ def simulate_bands(
             if progress is not None:
                 progress(done, n_paths)
         pending = (counts, valid)
-        offset += this_b
+        offset += this_b * n_dev
         remaining -= valid
     if pending is not None:
         total += _expand(pending[0], pending[1], use_pallas,

@@ -321,3 +321,30 @@ def sobol_points_f64_host(dims: int, offset: int, n: int) -> np.ndarray:
         acc ^= np.where(take[:, None].astype(bool), v[None, :, b], 0)
     out = acc.astype(np.float64) * (2.0 ** -64)
     return out
+
+
+# Bratley-Fox "favorable" starting-seed exponents (reference
+# include/sobol/sobol.cpp:28467 tau_sobol; Algorithm 659, ACM TOMS 14(1)).
+_TAU_TABLE = (0, 0, 1, 3, 5, 8, 11, 15, 19, 23, 27, 31, 35)
+
+
+def tau_sobol(dim_num: int) -> int:
+    """Favorable starting-seed exponent TAU for a ``dim_num``-dimensional
+    Sobol sequence, or -1 outside the published 1..13 table (reference
+    parity: include/sobol/sobol.cpp:28467-28560). For integration,
+    starting the sequence at index N = 2**K with K >= TAU + dim_num - 1
+    improves low-index uniformity; pass ``favorable_index_offset`` as the
+    model's ``index_offset`` to apply it."""
+    if 1 <= dim_num <= len(_TAU_TABLE):
+        return _TAU_TABLE[dim_num - 1]
+    return -1
+
+
+def favorable_index_offset(dim_num: int) -> int:
+    """The smallest favorable start N = 2**(TAU + dim_num - 1) for
+    integration use, or 0 when the table has no entry (dims > 13 — at
+    engine scale the burn-in is immaterial anyway)."""
+    tau = tau_sobol(dim_num)
+    if tau < 0:
+        return 0
+    return 1 << (tau + dim_num - 1)

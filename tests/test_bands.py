@@ -124,3 +124,35 @@ def test_visualize_bands_cli(tmp_path, monkeypatch):
     main(["visualize-bands", "12", "20000", "--model", "gaussian",
           "--target", "1100", "--save", "b.png"])
     assert (tmp_path / "b.png").exists()
+
+
+def test_bands_sharded_identical_to_single_device(mesh8):
+    """Bands over a mesh: per-month histograms psum over ICI; counter
+    streams make the counts IDENTICAL to the single-device run (XLA
+    backend: full fidelity on the CPU mesh), including a ragged tail."""
+    n, t = 2 * KEY_TILE + 777, 18
+    a = smmc.simulate_bands(GAUSS, n, t, seed=4, sample_paths=0,
+                            options=EngineOptions(chunk_paths=KEY_TILE))
+    b = smmc.simulate_bands(GAUSS, n, t, seed=4, sample_paths=0,
+                            options=EngineOptions(chunk_paths=KEY_TILE),
+                            mesh=mesh8)
+    np.testing.assert_array_equal(a.month_hist, b.month_hist)
+    np.testing.assert_allclose(a.values, b.values, rtol=1e-12)
+
+
+def test_fused_pallas_bands_sharded_composition(mesh8):
+    """The fused band kernel under shard_map on the mesh (TPU-semantics
+    interpreter off-TPU): mass accounting must hold across devices."""
+    from stock_market_monte_carlo_tpu.models.strategies import (
+        FixedPercentWithdrawal,
+    )
+
+    h = smmc.HistoricalBootstrap.from_csv()
+    n, t = 2 * KEY_TILE + 100, 4
+    b = smmc.simulate_bands(
+        h, n, t, seed=2, strategy=FixedPercentWithdrawal(1.0),
+        options=EngineOptions(backend="pallas", chunk_paths=KEY_TILE),
+        n_bins=256, sample_paths=0, mesh=mesh8,
+    )
+    np.testing.assert_array_equal(b.month_hist.sum(axis=1),
+                                  np.full(t + 1, n))

@@ -203,3 +203,19 @@ def test_deep_index_validation():
     with pytest.raises(ValueError, match="direction table"):
         sb.sobol_points_f32(sb.direction_numbers(4), jnp.uint32(0), 8, 4,
                             index_offset=123)
+
+
+def test_tau_sobol_reference_table():
+    """Bratley-Fox favorable-seed table (ref: sobol.cpp:28467-28560)."""
+    from stock_market_monte_carlo_tpu.ops.sobol import (
+        favorable_index_offset,
+        tau_sobol,
+    )
+
+    assert [tau_sobol(d) for d in range(1, 14)] == [
+        0, 0, 1, 3, 5, 8, 11, 15, 19, 23, 27, 31, 35
+    ]
+    assert tau_sobol(0) == -1 and tau_sobol(14) == -1
+    assert favorable_index_offset(3) == 1 << 3   # tau=1, K=tau+dim-1=3
+    assert favorable_index_offset(13) == 1 << 47
+    assert favorable_index_offset(100) == 0
