@@ -406,3 +406,36 @@ def test_simulate_paths_bf16_transfer_and_chunked_fetch():
     bf = smmc.simulate_paths(GAUSS, n, t, seed=9, dtype="bfloat16")
     assert bf.dtype == np.float32
     np.testing.assert_allclose(bf, full, rtol=8e-3)  # bf16 has ~8 bits
+
+
+def test_analytic_moment_shift_edges():
+    """Centering constant: exact multiplicative mean for gaussian and
+    historical (with keep factors), zero for non-multiplicative
+    strategies, and clipped finite for extreme horizons."""
+    from stock_market_monte_carlo_tpu.engine.engine import (
+        analytic_moment_shift,
+    )
+    from stock_market_monte_carlo_tpu.models.strategies import (
+        FixedAmountWithdrawal,
+        FixedPercentWithdrawal,
+        NoWithdrawal,
+    )
+
+    g = smmc.GaussianReturns(mean_pct=0.5, std_pct=10 / 12)
+    assert analytic_moment_shift(g, NoWithdrawal(), 360) == (
+        pytest.approx(1.005**360)
+    )
+    assert analytic_moment_shift(
+        g, FixedPercentWithdrawal(1.0), 12
+    ) == pytest.approx((1.005 * 0.99) ** 12)
+    # non-multiplicative -> unshifted
+    assert analytic_moment_shift(g, FixedAmountWithdrawal(5.0), 360) == 0.0
+    # enormous horizon: clipped, never inf/nan
+    big = analytic_moment_shift(g, NoWithdrawal(), 100_000)
+    assert np.isfinite(big) and big <= 1e30
+    # historical: exact table mean
+    h = smmc.HistoricalBootstrap.from_csv()
+    gmean = 1.0 + np.asarray(h.returns_pct, np.float64).mean() / 100.0
+    assert analytic_moment_shift(h, NoWithdrawal(), 24) == (
+        pytest.approx(gmean**24)
+    )
