@@ -63,12 +63,18 @@ class EngineOptions:
     #  - "icdf": inverse-CDF per draw (polynomial erfinv; default)
     #  - "clt":  MXU orthogonal-mix sampler — 128 uniforms mixed through a
     #    random orthogonal matrix per 128-month block (CLT_K=128). Exact
-    #    mean/variance/skew; per-month excess kurtosis -1.2/128 (washes out
-    #    over the horizon's convolution). ~1.4x faster; plain Gaussian
-    #    compounding only — strategy runs fall back to "icdf" (which
-    #    measures faster when the withdrawn total is tracked) unless
-    #    track_withdrawn=False, where the keep-folded plain kernel runs
-    #    strategies at full CLT speed.
+    #    mean/variance/skew. Tail accuracy: the shared-draw block
+    #    structure leaves log V_T an excess-kurtosis deficit of ~-0.009
+    #    (ops/analytic.clt_block_kurtosis, validated at 1e9 paths on
+    #    hardware), so quantiles at p in [0.01, 0.99] are accurate to
+    #    <1e-4 but DEEP-tail quantiles pull in ~0.12% at p=1e-3 and
+    #    ~0.4% at p=1e-5 — use the default "icdf" (no such deviation)
+    #    when tail probabilities beyond ~1e-3 are the quantity of
+    #    interest. ~1.4x faster; plain Gaussian compounding only —
+    #    strategy runs fall back to "icdf" (which measures faster when
+    #    the withdrawn total is tracked) unless track_withdrawn=False,
+    #    where the keep-folded plain kernel runs strategies at full CLT
+    #    speed.
     #  - "clt-prefix": CLT that also runs percent-withdrawal strategies
     #    in-kernel via a lane prefix-product on 2048-path tiles. Exact
     #    withdrawn totals, but measured SLOWER than the icdf fallback

@@ -135,13 +135,19 @@ def clt_final_value_distribution(mean_pct: float, std_pct: float,
                                  n_periods: int, initial_capital: float,
                                  n_grid: int = 1 << 13,
                                  law: str = "clt"):
-    """(values, cdf): the final-value distribution under ``law``.
+    """(values, cdf): the final-value distribution under ``law``,
+    treating months as INDEPENDENT.
 
     ``law='clt'`` uses the CLT sampler's per-column z densities (month t
     draws column t mod 128 of a fresh block — pallas_engine kernel
     layout); ``law='normal'`` runs the exact standard normal through the
     IDENTICAL grid/FFT pipeline, so differencing the two isolates the
-    sampler's law deviation with grid artifacts cancelled.
+    MARGINAL law deviation with grid artifacts cancelled. NOTE the
+    actual kernel's months within one block share a draw and are NOT
+    independent: the resulting 4th-order block correction (dominant deep
+    in the tails, ~0.4% at p = 1e-5) is quantified separately by
+    clt_block_kurtosis / clt_tail_deviation and validated against a
+    1e9-path hardware run.
 
     The T-fold convolution runs on a grid centered at the analytic month
     mean with wraparound: the sum's support is folded modulo the grid
@@ -204,6 +210,60 @@ def clt_final_value_distribution(mean_pct: float, std_pct: float,
     offs = (np.arange(n_total) - n_total // 2) * dy
     log_v = (np.log(initial_capital) + t * (y_lo + ref_cell * dy)) + offs
     return np.exp(log_v), np.cumsum(conv)
+
+
+def clt_block_kurtosis(mean_pct: float, std_pct: float,
+                       n_periods: int) -> float:
+    """Excess kurtosis gamma2 of log V_T under the CLT sampler's
+    SHARED-DRAW block structure.
+
+    The 128 month-z's of a block are mixed from ONE 128-uniform draw:
+    orthogonality makes them exactly uncorrelated but not independent —
+    Cov(z_i^2, z_j^2) = kappa4(u)/Var(u)^2 * sum_k w~_ki^2 w~_kj^2
+    (~ -1.2/128 per pair), and the ~C(128,2) same-block month pairs
+    contribute 3*sum Cov(y_i^2, y_j^2) to kappa4(log V_T) — ~130x the
+    marginal per-column kurtosis term the independent-month convolution
+    (clt_final_value_distribution) captures. First derived after a
+    1e9-path hardware run showed tail quantiles deviating ~0.4% at
+    p = 1e-5 from the independent-month law; the Cornish-Fisher shift
+    from this gamma2 predicts those measurements within 5-20%
+    (RESULTS.md round-3 tail table).
+    """
+    w = clt_column_weights()
+    wt2 = w**2 / 12.0                      # per-column sums = 1
+    cross_cols = -1.2 * (wt2.T @ wt2)      # Cov(z_i^2, z_j^2) matrix
+    own_cols = np.diag(cross_cols).copy()
+    np.fill_diagonal(cross_cols, 0.0)
+
+    t = n_periods
+    mult = np.bincount(np.arange(t) % 128, minlength=128)
+    beta = (std_pct / 100.0) / (1.0 + mean_pct / 100.0)
+    # same-block pairs: full blocks use all 128 columns, the tail block
+    # the first t mod 128
+    n_full, rem = divmod(t, 128)
+    pair_sum = n_full * float(cross_cols.sum())
+    if rem:
+        pair_sum += float(cross_cols[:rem, :rem].sum())
+    own = float((mult * own_cols).sum())
+    k4 = beta**4 * (own + 3.0 * pair_sum)
+    sigma2 = t * beta**2
+    return float(k4 / sigma2**2)
+
+
+def clt_tail_deviation(p: float, mean_pct: float, std_pct: float,
+                       n_periods: int) -> float:
+    """Predicted RELATIVE deviation of the CLT sampler's p-quantile of
+    V_T from the independent-month law (Cornish-Fisher, leading order in
+    clt_block_kurtosis): positive in the lower tail (narrower), negative
+    in the upper. ~+4e-3 at p = 1e-5 for the default market at 360
+    months; below ~1e-4 for p in [0.01, 0.99]."""
+    from stock_market_monte_carlo_tpu.ops.normal import normal_icdf
+
+    g2 = clt_block_kurtosis(mean_pct, std_pct, n_periods)
+    beta = (std_pct / 100.0) / (1.0 + mean_pct / 100.0)
+    sigma = float(np.sqrt(n_periods) * beta)
+    z = float(np.asarray(normal_icdf(np.float32(p))))
+    return sigma * (g2 / 24.0) * (z**3 - 3.0 * z)
 
 
 def quantiles_from_cdf(values, cdf, qs) -> "np.ndarray":
