@@ -210,9 +210,16 @@ def plot_metric(path: str, metric: str = "real_time", transform: str = "",
     rows = _plot_rows(path, metric)
     if transform == "inverse":
         rows = [(lbl, size, 1.0 / v) for lbl, size, v in rows]
-    groups: Dict[str, Dict[int, float]] = {}
+    # A file produced with --benchmark_repetitions has several iteration
+    # entries per (label, size); average them so the curve shows the
+    # aggregate, not whichever repetition happened to be last in the file.
+    acc: Dict[str, Dict[int, list]] = {}
     for lbl, size, v in rows:
-        groups.setdefault(lbl, {})[size] = v
+        acc.setdefault(lbl, {}).setdefault(size, []).append(v)
+    groups: Dict[str, Dict[int, float]] = {
+        lbl: {s: sum(vs) / len(vs) for s, vs in g.items()}
+        for lbl, g in acc.items()
+    }
     if relative_to is not None:
         base = groups.get(relative_to)
         if base is None:

@@ -13,7 +13,8 @@ import os
 
 
 def monthly_returns_from_daily(data):
-    """(df_monthly, monthly_returns) from a yfinance-shaped daily frame.
+    """(df_daily, df_monthly, monthly_returns) from a yfinance-shaped
+    daily frame.
 
     The parsing/transform half of the fetch (ref: get_data.py:33-68),
     separated so it can be tested against RECORDED response shapes

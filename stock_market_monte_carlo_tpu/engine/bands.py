@@ -159,7 +159,13 @@ def _band_mesh_fn(mesh, use_pallas, model_kind, rng, strategy_kind,
             )
 
     def device_fn(offsets, valids, *rest):
-        return jax.lax.psum(base(offsets[0], valids[0], *rest), axis)
+        # Each device's counts are exact integers <= chunk_b <= 2^24 held
+        # in f32, but a b*n_dev-path dispatch can concentrate MORE than
+        # 2^24 paths in one cell (month-0 / underflow bins), where f32
+        # addition rounds. Merge across devices in int32 instead — exact
+        # to 2^31, and the cast of each per-device f32 count is lossless.
+        c = base(offsets[0], valids[0], *rest).astype(jnp.int32)
+        return jax.lax.psum(c, axis)
 
     rep = P()
     fn = jax.jit(jax.shard_map(

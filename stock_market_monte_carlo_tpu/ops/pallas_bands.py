@@ -41,10 +41,10 @@ from stock_market_monte_carlo_tpu.ops.pallas_engine import (
     TILE_PATHS,
     TILE_ROWS,
     _SQRT2,
-    _bootstrap_idx_exact_i32,
     _erfinv_poly,
     _pad_table,
     _seed_base_i32,
+    _sliced_rotation_draw,
     _tile_seed_i32,
     _u23_from_bits,
     interpret_mode,
@@ -123,20 +123,12 @@ def _build_bands_kernel(kind: str, strategy_kind: str, n_periods: int,
             )
 
             def growth(t):
-                # sliced-rotation one-gather bootstrap — identical recipe
-                # (and stream) to ops/pallas_engine._build_kernel
+                # the shared stream-defining recipe — identical stream to
+                # ops/pallas_engine._build_kernel by construction
                 del t
-                w_bits = pltpu.prng_random_bits((TILE_ROWS, 128))
-                r_res = w_bits * n_i32
-                cprime = _bootstrap_idx_exact_i32(r_res, n_valid)
-                comb = rows[0]
-                for c in range(1, n_table_chunks):
-                    comb = jnp.where(cprime == c, rows[c], comb)
-                idx_dest = _bootstrap_idx_exact_i32(w_bits, n_i32)
-                b_row = w_bits[:, 0:1] & jnp.int32(127)
-                w_rot = (ll + b_row) & jnp.int32(127)
-                w_col = jnp.where(idx_dest < tail_n, idx_dest, w_rot)
-                return jnp.take_along_axis(comb, w_col, axis=1)
+                return _sliced_rotation_draw(
+                    rows, ll, n_valid, n_i32, tail_n, n_table_chunks
+                )
         else:
             def growth(t):
                 del t

@@ -146,6 +146,63 @@ def _bootstrap_idx_exact_i32(st, n_i32):
     )
 
 
+def _sliced_rotation_draw(rows, ll, n_valid, n_i32, tail_n, k_chunks,
+                          ablate=""):
+    """One month's sliced-rotation bootstrap draw — THE stream-defining
+    recipe, shared by the stats kernel (_build_kernel) and the fused band
+    kernel (ops/pallas_bands.py) so their streams can never fork. Any
+    change here changes every historical counter-mode stream: bump the
+    streams tag in engine.simulate_stats' fingerprint and update the
+    numpy replica in tests/test_rng.py.
+
+    ONE within-row gather per path-month instead of ceil(n_table/128):
+    each lane plays two independent roles from one PRNG word W.
+
+      Source role (lane s): chunk c'_s uniform over the n_s valid chunks
+      of column s (n_s = K for s < tail_n else K-1), drawn from the
+      wrap-around residual r = W*n (independent of floor(n*W/2^32) to
+      ~n/2^32); combined[s] = G[c'_s, s] by a chain of K chunk-row
+      selects (no gathers; padding is never selected because c'_s < n_s).
+
+      Dest role (lane l): idx = floor(n*W/2^32). With probability
+      tail_n/n (flag: idx < tail_n) gather column w = idx (uniform over
+      the tall columns); otherwise gather at a per-row random rotation
+      w = (l + b_r) & 127.
+
+    Exactness (any n): P(w=j) = 1/n + (n-tail_n)/(128n) = K/n for
+    j < tail_n, (K-1)/n otherwise; times P(c'_j = c) = 1/n_j gives
+    P(entry) = 1/n uniformly. Rotation makes row-mates collision-free,
+    so the cross-path joint is slightly SUB-iid (pair collision ~7.9e-4
+    vs iid 8.9e-4 at n=1127) — estimator variance is never inflated. The
+    reference kernel's recipe costs the full chunk scan and is kept in
+    rng='reference' parity mode (src/simulations.cu:144-150).
+
+    ``ablate`` keeps the roofline stage-attribution hooks
+    (experiments/exp_hist_roofline.py): each variant is statistically
+    WRONG and exists only for timing deltas.
+    """
+    w_bits = pltpu.prng_random_bits(ll.shape)
+    if ablate == "nodraw":
+        return rows[0]
+    if ablate == "drawonly":
+        return 1.0 + w_bits.astype(jnp.float32) * 1e-12
+    # source: combined[s] = G[c'_s, s]
+    r_res = w_bits * n_i32               # wrap mul == low 32 bits
+    cprime = _bootstrap_idx_exact_i32(r_res, n_valid)
+    comb = rows[0]
+    if ablate != "nosource":
+        for c in range(1, k_chunks):
+            comb = jnp.where(cprime == c, rows[c], comb)
+    # dest: column choice
+    idx_dest = _bootstrap_idx_exact_i32(w_bits, n_i32)
+    b_row = w_bits[:, 0:1] & jnp.int32(127)
+    w_rot = (ll + b_row) & jnp.int32(127)
+    w_col = jnp.where(idx_dest < tail_n, idx_dest, w_rot)
+    if ablate == "nogather":
+        return comb + w_col.astype(jnp.float32) * 1e-12
+    return jnp.take_along_axis(comb, w_col, axis=1)
+
+
 def _kernel_bin_indices(values, mask, log_lo, inv_w, hb):
     """Log-space bin index for the in-kernel MXU histograms.
 
@@ -288,30 +345,9 @@ def _build_kernel(kind: str, strategy_kind: str, n_periods: int,
         # statistically and exist only for timing deltas.
 
         if is_hist and not is_sobol and rng_mode == "counter":
-            # "Sliced rotation" bootstrap — ONE within-row gather per
-            # path-month instead of ceil(n_table/128): each lane plays two
-            # independent roles from one PRNG word W.
-            #
-            #   Source role (lane s): chunk c'_s uniform over the n_s valid
-            #   chunks of column s (n_s = K for s < tail_n else K-1), drawn
-            #   from the wrap-around residual r = W*n (independent of
-            #   floor(n*W/2^32) to ~n/2^32); combined[s] = G[c'_s, s] by a
-            #   chain of K chunk-row selects (no gathers; padding is never
-            #   selected because c'_s < n_s).
-            #
-            #   Dest role (lane l): idx = floor(n*W/2^32). With probability
-            #   tail_n/n (flag: idx < tail_n) gather column w = idx
-            #   (uniform over the tall columns); otherwise gather at a
-            #   per-row random rotation w = (l + b_r) & 127.
-            #
-            # Exactness (any n): P(w=j) = 1/n + (n-tail_n)/(128n) = K/n for
-            # j < tail_n, (K-1)/n otherwise; times P(c'_j = c) = 1/n_j
-            # gives P(entry) = 1/n uniformly. Rotation makes row-mates
-            # collision-free, so the cross-path joint is slightly SUB-iid
-            # (pair collision ~7.9e-4 vs iid 8.9e-4 at n=1127) — estimator
-            # variance is never inflated. The reference kernel's recipe
-            # costs the full chunk scan and is kept in rng='reference'
-            # parity mode (src/simulations.cu:144-150).
+            # "Sliced rotation" bootstrap — recipe, exactness proof, and
+            # stream contract live on _sliced_rotation_draw (shared with
+            # the fused band kernel so the streams can never fork).
             n_i32 = iscal[3]
             tail_n = iscal[4]
             k_chunks = n_table_chunks
@@ -321,26 +357,10 @@ def _build_kernel(kind: str, strategy_kind: str, n_periods: int,
 
             def growth(t):
                 del t
-                w_bits = pltpu.prng_random_bits((TILE_ROWS, 128))
-                if _hist_ablate == "nodraw":
-                    return rows[0]
-                if _hist_ablate == "drawonly":
-                    return 1.0 + w_bits.astype(jnp.float32) * 1e-12
-                # source: combined[s] = G[c'_s, s]
-                r_res = w_bits * n_i32           # wrap mul == low 32 bits
-                cprime = _bootstrap_idx_exact_i32(r_res, n_valid)
-                comb = rows[0]
-                if _hist_ablate != "nosource":
-                    for c in range(1, k_chunks):
-                        comb = jnp.where(cprime == c, rows[c], comb)
-                # dest: column choice
-                idx_dest = _bootstrap_idx_exact_i32(w_bits, n_i32)
-                b_row = w_bits[:, 0:1] & jnp.int32(127)
-                w_rot = (ll + b_row) & jnp.int32(127)
-                w_col = jnp.where(idx_dest < tail_n, idx_dest, w_rot)
-                if _hist_ablate == "nogather":
-                    return comb + w_col.astype(jnp.float32) * 1e-12
-                return jnp.take_along_axis(comb, w_col, axis=1)
+                return _sliced_rotation_draw(
+                    rows, ll, n_valid, n_i32, tail_n, k_chunks,
+                    ablate=_hist_ablate,
+                )
         else:
             def growth(t):
                 if is_hist:

@@ -140,6 +140,18 @@ def test_bands_sharded_identical_to_single_device(mesh8):
     np.testing.assert_allclose(a.values, b.values, rtol=1e-12)
 
 
+def test_bands_sharded_counts_exact_past_f32_range(mesh8):
+    """The cross-device count merge must stay exact when one dispatch
+    concentrates more than 2^24 paths in a single cell (month 0 puts
+    EVERY path at v0). An f32 psum cannot represent the odd total
+    2^24 + 7; the int32 merge can."""
+    n, t = (1 << 24) + 7, 1
+    b = smmc.simulate_bands(GAUSS, n, t, seed=0, sample_paths=0,
+                            n_bins=64, mesh=mesh8)
+    assert b.month_hist[0].max() == n
+    assert b.month_hist.sum(axis=1).tolist() == [n] * (t + 1)
+
+
 def test_fused_pallas_bands_sharded_composition(mesh8):
     """The fused band kernel under shard_map on the mesh (TPU-semantics
     interpreter off-TPU): mass accounting must hold across devices."""
