@@ -82,7 +82,7 @@ def test_fused_pallas_bands_composition():
     month row holds exactly n paths; padding and dead months land in the
     discard cell), ragged chunk, historical model + withdrawal strategy.
     Statistical band parity vs the XLA path runs on hardware
-    (tests/test_tpu_only.py)."""
+    (tests/test_tpu_only.py::test_pallas_bands_statistical_parity_vs_xla)."""
     from stock_market_monte_carlo_tpu.models.strategies import (
         FixedPercentWithdrawal,
     )

@@ -330,3 +330,42 @@ def test_clt_long_horizon_fori_path():
     mean_s = 1000 * (a * k) ** T
     assert abs(rs.mean - mean_s) / mean_s < 5e-3
     assert rs.moments.total_withdrawn == 0.0
+
+
+def test_pallas_bands_statistical_parity_vs_xla(historical_table):
+    """The fused Pallas band kernel's BAND VALUES must match the XLA
+    band path statistically on hardware (different bit streams, same
+    distribution) — the CPU suite can only check composition/mass
+    because the interpreter's PRNG stub is all-zeros. A mass-conserving
+    binning bug (wrong coefficient sign, month/row misalignment) fails
+    here and nowhere else."""
+    import jax.numpy as jnp
+
+    import stock_market_monte_carlo_tpu as smmc
+    from stock_market_monte_carlo_tpu.models.strategies import (
+        FixedPercentWithdrawal,
+    )
+
+    n, t = 2**21, 60
+    cases = [
+        (smmc.GaussianReturns(), smmc.NoWithdrawal()),
+        (smmc.HistoricalBootstrap(jnp.asarray(historical_table)),
+         FixedPercentWithdrawal(0.5)),
+    ]
+    for model, strat in cases:
+        a = smmc.simulate_bands(model, n, t, seed=7, strategy=strat,
+                                sample_paths=0,
+                                options=_opts(backend="pallas"))
+        b = smmc.simulate_bands(model, n, t, seed=7, strategy=strat,
+                                sample_paths=0,
+                                options=_opts(backend="xla"))
+        # every month's counts account for every path in both paths
+        assert a.month_hist.sum(axis=1).tolist() == [n] * (t + 1)
+        assert b.month_hist.sum(axis=1).tolist() == [n] * (t + 1)
+        # band values: independent 2^21-path samples on a 1024-bin grid;
+        # mid-quantile MC error ~1e-3 relative, grid quantization ~1 bin
+        # width (~2.3% of sigma_t in log space) — 1% covers both
+        np.testing.assert_allclose(a.values[:, 1:], b.values[:, 1:],
+                                   rtol=1e-2)
+        # months after the first: medians track the model's drift
+        assert np.all(np.diff(a.values[2]) > -a.values[2][:-1] * 0.05)
