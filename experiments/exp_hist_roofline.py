@@ -119,6 +119,16 @@ def report():
                  ["ablate", "nodraw"], ["ablate", "drawonly"],
                  ["ablate", "nosource"], ["ablate", "nogather"],
                  ["ablate", ""]):
+        # Two processes per variant: the first compiles (a process that
+        # has just done remote Mosaic compiles times 30-40% HIGH —
+        # docs/profiling.md), the second hits the warm cache and is the
+        # number to read. The calib slope is consumed as an ABSOLUTE
+        # machine rate, so it must come from the clean process.
+        print(f"--- {' '.join(args) or 'full'}: warm-up process "
+              "(compile; IGNORE its timing) ---")
+        subprocess.run([sys.executable, os.path.abspath(__file__), *args],
+                       env=env, check=False, cwd=REPO)
+        print(f"--- {' '.join(args) or 'full'}: timed process ---")
         subprocess.run([sys.executable, os.path.abspath(__file__), *args],
                        env=env, check=False, cwd=REPO)
 

@@ -726,23 +726,50 @@ def _build_clt_kernel(n_periods: int, n_hist_total: int,
                 )
                 wsum = jnp.zeros((P, 1), jnp.float32)
             else:
+                import os as _os2
+
+                _prefix_impl = _os2.environ.get("SMMC_CLT_PREFIX", "roll")
+                if _prefix_impl == "mxu":
+                    # strictly-lower-triangular ones: (y @ L)[p, c] =
+                    # sum_{d<c} y[p, d] — the exclusive prefix-sum as ONE
+                    # MXU matmul (f32 inputs: Mosaic's multi-pass f32
+                    # matmul keeps ~1e-6 relative accuracy, vs bf16's
+                    # ~4e-3 which would blow the withdrawn-total bars)
+                    l_r = jax.lax.broadcasted_iota(jnp.int32, (K, K), 0)
+                    l_c = jax.lax.broadcasted_iota(jnp.int32, (K, K), 1)
+                    l_strict = (l_r < l_c).astype(jnp.float32)
                 carry = jnp.full((P, 1), 1.0, jnp.float32)
                 wsum = jnp.zeros((P, 1), jnp.float32)
                 for j in range(nblocks):
                     g_raw = draw_mix(j)              # dead cols -> 1
                     k_row = keep_ref[j, :][None, :]  # dead cols padded 1
                     gk = g_raw * k_row
-                    # inclusive lane prefix product of gk (Hillis-Steele)
-                    incl = gk
-                    d = 1
-                    while d < K:
-                        rolled = pltpu.roll(incl, d, 1)
-                        incl = incl * jnp.where(col1 >= d, rolled, 1.0)
-                        d *= 2
-                    # exclusive prefix: shift by one lane, lane 0 -> 1
-                    excl = jnp.where(
-                        col1 >= 1, pltpu.roll(incl, 1, 1), 1.0
-                    )
+                    if _prefix_impl == "mxu":
+                        # log-space exclusive prefix product on the MXU:
+                        # excl = exp(log(gk) @ L). The 1e-37 clamp keeps
+                        # a keep=0 month finite (-inf would NaN the
+                        # matmul via -inf * 0); depleted paths then read
+                        # ~1e-34 instead of exactly 0.
+                        y = jnp.log(jnp.maximum(gk, 1e-37))
+                        excl = jnp.exp(jax.lax.dot_general(
+                            y, l_strict, (((1,), (0,)), ((), ())),
+                            preferred_element_type=jnp.float32,
+                        ))
+                        incl = None  # carry comes from excl's last lane
+                    else:
+                        # inclusive lane prefix product of gk
+                        # (Hillis-Steele over the 128 month lanes)
+                        incl = gk
+                        d = 1
+                        while d < K:
+                            rolled = pltpu.roll(incl, d, 1)
+                            incl = incl * jnp.where(col1 >= d, rolled,
+                                                    1.0)
+                            d *= 2
+                        # exclusive prefix: shift by one lane, lane 0 -> 1
+                        excl = jnp.where(
+                            col1 >= 1, pltpu.roll(incl, 1, 1), 1.0
+                        )
                     # withdrawn in month (j,c) is grown*(1-k) with
                     # grown = v0*carry*excl*g; sum lanes first, scale by
                     # the (P,1) carry after — avoids a full (P,K) grown
@@ -752,7 +779,11 @@ def _build_clt_kernel(n_periods: int, n_hist_total: int,
                         keepdims=True
                     )
                     wsum = wsum + (v0 * carry) * s_j
-                    carry = carry * incl[:, K - 1:K]
+                    if incl is None:
+                        carry = carry * (excl[:, K - 1:K]
+                                         * gk[:, K - 1:K])
+                    else:
+                        carry = carry * incl[:, K - 1:K]
                 finals = v0 * carry
             finals_ref[s_idx * P:(s_idx + 1) * P, :] = finals
 

@@ -197,6 +197,26 @@ def test_benchmark_plot_option_parity(tmp_path):
     assert g3["gpu"][100] == pytest.approx(10.0)
 
 
+def test_benchmark_plot_averages_repetitions(tmp_path):
+    """A --benchmark_repetitions file has several iteration entries per
+    (label, size); the curve must show their average, not whichever
+    repetition came last in the file."""
+    from stock_market_monte_carlo_tpu.bench.compare import plot_metric
+
+    src = tmp_path / "reps.json"
+    entries = [
+        {"name": "gpu/100", "run_type": "iteration", "real_time": v,
+         "time_unit": "s"}
+        for v in (10.0, 12.0, 50.0)   # last rep is a noisy outlier
+    ]
+    entries.append({"name": "gpu/100_mean", "aggregate_name": "mean",
+                    "real_time": 24.0, "time_unit": "s"})
+    src.write_text(json.dumps({"benchmarks": entries}))
+    g = plot_metric(str(src), metric="real_time",
+                    output=str(tmp_path / "p.png"))
+    assert g["gpu"][100] == pytest.approx(24.0)
+
+
 def test_benchmark_plot_cli_and_errors(tmp_path):
     from stock_market_monte_carlo_tpu.cli.main import main
 
