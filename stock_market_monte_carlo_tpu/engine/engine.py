@@ -414,10 +414,12 @@ def _effective_sampler(model, strategy, backend: str,
     'clt' applies to plain Gaussian compounding; withdrawal-strategy runs
     fall back to the exact ICDF kernel, which MEASURES faster than the
     CLT lane-prefix kernel (100M x 360 fixed-percent: ICDF 0.563 s vs
-    CLT-prefix 1.007 s — the withdrawn total's prefix product costs more
-    than the ICDF it displaces). 'clt-prefix' forces the prefix kernel
-    (exact withdrawn via 7 roll-multiply steps per 128-month block), kept
-    for environments with different VMEM/tile tradeoffs.
+    CLT-prefix 1.007 s with the roll chain, 0.77 s after the MXU
+    log-prefix rework — the withdrawn total's prefix product still costs
+    more than the ICDF it displaces). 'clt-prefix' forces the prefix
+    kernel (exact withdrawn via a per-block log-space MXU prefix,
+    ops/pallas_engine.clt_prefix_impl), kept for environments with
+    different VMEM/tile tradeoffs.
     """
     if (backend != "pallas" or model.kind != "gaussian"):
         return "icdf"
@@ -642,6 +644,13 @@ def simulate_stats(
         # constants gained exact half-LSB centering and Q became a
         # vendored byte-identical matrix).
         eff = _effective_sampler(model, strategy, backend, options)
+        if eff == "clt-prefix":
+            # the prefix implementation changes the withdrawn total's
+            # float rounding (not the PRNG stream) — refuse to resume a
+            # checkpoint across implementations
+            from stock_market_monte_carlo_tpu.ops import pallas_engine
+
+            eff = f"clt-prefix-{pallas_engine.clt_prefix_impl()}"
         hist_tag = "" if options.histogram else "/nohist"
         fingerprint = ckpt.config_fingerprint(
             model, strategy, n_paths, n_periods, initial_capital, seed,

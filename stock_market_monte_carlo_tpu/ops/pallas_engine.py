@@ -556,10 +556,12 @@ CLT_TS = 1     # tiles per grid step (plain kernel). TS=2 measured a
 #                — the larger per-step output blocks cost more grid-level
 #                overlap than the per-step fixed cost they save. Streams
 #                are per-tile, so any TS gives bit-identical results.
-CLT_P_STRATEGY = 2048  # paths per tile with withdrawal strategies — the
-#                       lane prefix-product chain adds ~7 live (P,K)
-#                       buffers, which blows the 16 MB scoped-VMEM limit
-#                       at P=4096 (measured 22 MB); halving P fits
+CLT_P_STRATEGY = 2048  # paths per tile with withdrawal strategies —
+#                       P=4096 blows the 16 MB scoped-VMEM limit with
+#                       either prefix implementation (22 MB with the
+#                       roll chain's ~7 live (P,K) buffers; re-probed
+#                       23.85 MB with the MXU log-prefix, whose f32
+#                       matmul stack dominates); halving P fits
 CLT_K = 128    # months per block = mixing dimension
 
 # sha256 of the vendored _clt_q128.npy bytes (the CLT sample stream's
@@ -637,6 +639,21 @@ def _clt_qmatrix(k: int):
     return np.asarray(q_bf16), colscale[None, :], colshift[None, :]
 
 
+def clt_prefix_impl() -> str:
+    """Which exclusive-prefix implementation the clt-prefix strategy
+    kernel traces: 'mxu' (default — log-space prefix as one strictly-
+    lower-triangular (128,128) f32 matmul; 100M x 360 fixed-percent
+    0.77 s, withdrawn rel err 1.7e-6) or 'roll' (the 7-step Hillis-
+    Steele roll chain it replaced; 1.04 s, 4.8e-6, same session —
+    experiments/exp_clt_prefix_mxu.py). The PRNG stream is identical
+    either way; only float rounding of the withdrawn total differs, so
+    the checkpoint fingerprint carries this tag (engine.simulate_stats)
+    to refuse cross-implementation resume."""
+    import os as _os2
+
+    return _os2.environ.get("SMMC_CLT_PREFIX", "mxu")
+
+
 def _build_clt_kernel(n_periods: int, n_hist_total: int,
                       with_strategy: bool = False,
                       with_hist: bool = True,
@@ -644,9 +661,10 @@ def _build_clt_kernel(n_periods: int, n_hist_total: int,
     """``with_strategy`` enables multiplicative withdrawal strategies at
     CLT speed: per-month keep fractions fold into the per-block (1,K)
     affine constants (finals are free), and the per-path withdrawn total
-    comes from a lane prefix-product (Hillis-Steele over the 128 month
-    lanes, 7 roll-multiply steps per block) — the reference has no
-    withdrawal support at all (README.md:130-133 TODO)."""
+    comes from an exclusive lane prefix product per block — by default a
+    log-space strictly-lower-triangular MXU matmul (clt_prefix_impl) —
+    the reference has no withdrawal support at all (README.md:130-133
+    TODO)."""
     P = CLT_P_STRATEGY if with_strategy else CLT_P
     K = CLT_K
     nblocks = -(-n_periods // K)
@@ -726,9 +744,7 @@ def _build_clt_kernel(n_periods: int, n_hist_total: int,
                 )
                 wsum = jnp.zeros((P, 1), jnp.float32)
             else:
-                import os as _os2
-
-                _prefix_impl = _os2.environ.get("SMMC_CLT_PREFIX", "roll")
+                _prefix_impl = clt_prefix_impl()
                 if _prefix_impl == "mxu":
                     # strictly-lower-triangular ones: (y @ L)[p, c] =
                     # sum_{d<c} y[p, d] — the exclusive prefix-sum as ONE

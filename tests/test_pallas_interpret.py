@@ -82,3 +82,45 @@ def test_sobol_deep_index_pallas_matches_xla():
     fp = smmc.simulate_final_values(m, 8192, 12, seed=5, options=OPTS_PALLAS)
     fx = smmc.simulate_final_values(m, 8192, 12, seed=5, options=OPTS_XLA)
     np.testing.assert_allclose(fp, fx, rtol=1e-3)
+
+
+def test_clt_prefix_mxu_matches_roll(monkeypatch):
+    """The two withdrawn-total prefix implementations (Hillis-Steele
+    rolls vs log-space MXU matmul, SMMC_CLT_PREFIX) must agree through
+    the interpreter on identical streams. The env is read at trace time,
+    so every kernel cache is cleared between runs."""
+    import jax
+
+    import stock_market_monte_carlo_tpu.ops.pallas_engine as pe
+    from stock_market_monte_carlo_tpu.models.strategies import (
+        FixedPercentWithdrawal,
+    )
+
+    def run_once(impl):
+        monkeypatch.setenv("SMMC_CLT_PREFIX", impl)
+        jax.clear_caches()
+        for attr in dir(pe):
+            obj = getattr(pe, attr)
+            if hasattr(obj, "cache_clear"):
+                obj.cache_clear()
+        opts = EngineOptions(backend="pallas", gaussian_sampler="clt",
+                             chunk_paths=8192)
+        return smmc.simulate_stats(
+            smmc.GaussianReturns(), 8192, 360, seed=3,
+            strategy=FixedPercentWithdrawal(0.25),
+            target_amount=2000.0, options=opts,
+        )
+
+    a = run_once("roll")
+    b = run_once("mxu")
+    assert b.mean == pytest.approx(a.mean, rel=1e-5)
+    assert b.moments.total_withdrawn == pytest.approx(
+        a.moments.total_withdrawn, rel=1e-5
+    )
+    # leave no kernels traced under a non-default implementation
+    monkeypatch.delenv("SMMC_CLT_PREFIX", raising=False)
+    jax.clear_caches()
+    for attr in dir(pe):
+        obj = getattr(pe, attr)
+        if hasattr(obj, "cache_clear"):
+            obj.cache_clear()
