@@ -80,6 +80,11 @@ class EngineOptions:
     #    withdrawn totals, but measured SLOWER than the icdf fallback
     #    (1.007 s vs 0.563 s at 100M x 360); explicit opt-in.
     gaussian_sampler: str = "icdf"
+    # (A "hist-clt" cumulant-matched approximate bootstrap sampler was
+    # built and measured at 1e9 paths in round 3, then REMOVED: the
+    # sliced-rotation exact kernel is both faster — its gather is cheap —
+    # and exact, so the approximation had no winning configuration.
+    # Full measurements: docs/optimization_log.md v10.)
     # Device->host dtype for exported trajectories (run(keep_trajectories),
     # simulate_paths). "bfloat16" halves the transfer bytes — the
     # bottleneck for keepdata exports in tunnel-bound environments
