@@ -309,10 +309,10 @@ def final_value_moments(mean_pct: float, std_pct: float, n_periods: int,
 
 # ---------------------------------------------------------------------------
 # Exact bootstrap law: the distribution of V_T when each month's growth is
-# drawn iid uniform from the historical table — the estimand of BOTH
-# historical samplers (the sliced-rotation exact kernel draws from it
-# exactly; the hist-clt cubic kernel matches its first three cumulants).
-# A T-fold FFT convolution of the table's point-mass log-growth pmf, like
+# drawn iid uniform from the historical table — the estimand of the
+# sliced-rotation historical kernel (validated against it to ~2e-4 at 1e9
+# paths on hardware, scripts/bootstrap_law_validation_tpu.py). A T-fold
+# FFT convolution of the table's point-mass log-growth pmf, like
 # final_value_distribution but over a discrete base measure.
 # ---------------------------------------------------------------------------
 
