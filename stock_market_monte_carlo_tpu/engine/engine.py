@@ -325,9 +325,18 @@ def _get_chunk_fn(model_kind, strategy_kind, n_periods, chunk_b, spec,
         else (mesh.axis_names, mesh.devices.shape,
               tuple(d.id for d in mesh.devices.flat))
     )
+    sampler_key = sampler
+    if sampler == "clt-prefix":
+        # the prefix implementation is resolved from the environment at
+        # TRACE time — key the jitted fn by it so a mid-process env
+        # change cannot execute a stale kernel under the wrong
+        # checkpoint-fingerprint tag
+        from stock_market_monte_carlo_tpu.ops import pallas_engine
+
+        sampler_key = f"clt-prefix-{pallas_engine.clt_prefix_impl()}"
     cache_key = (
         model_kind, strategy_kind, n_periods, chunk_b, spec, keep_finals,
-        mesh_key, backend, sampler, with_hist,
+        mesh_key, backend, sampler_key, with_hist,
     )
     fn = _CHUNK_FN_CACHE.get(cache_key)
     if fn is not None:
@@ -420,9 +429,21 @@ def _effective_sampler(model, strategy, backend: str,
     kernel (exact withdrawn via a per-block log-space MXU prefix,
     ops/pallas_engine.clt_prefix_impl), kept for environments with
     different VMEM/tile tradeoffs.
+
+    Validity guard: every CLT-family kernel takes log of growth products
+    (and the mxu prefix clamps non-positive keep*growth), so growth must
+    stay positive over the mix's bounded z support (|z| <= ~15.7).
+    Extreme-volatility models (1 + mean/100 <= 16 * std/100) silently
+    fall back to the exact ICDF kernel, whose growth may go negative
+    without ever passing through a log.
     """
     if (backend != "pallas" or model.kind != "gaussian"):
         return "icdf"
+    if options.gaussian_sampler in ("clt", "clt-prefix"):
+        a = 1.0 + float(model.mean_pct) / 100.0
+        b = float(model.std_pct) / 100.0
+        if a <= 16.0 * b:
+            return "icdf"
     if (options.gaussian_sampler in ("clt", "clt-prefix")
             and strategy.kind == "none"):
         return "clt"

@@ -53,6 +53,30 @@ def log_growth_pdf_grid(mean_pct: float, std_pct: float,
     return y, pdf, dy
 
 
+def _convolve_log_pmf(p_mass, y_lo: float, dy: float, t: int,
+                      initial_capital: float):
+    """(values, cdf) of V_T = v0 * exp(sum of t iid draws) whose single-
+    draw log-mass is ``p_mass`` on the uniform grid y_lo + dy*k.
+
+    The T-fold convolution runs as irfft(rfft(p)^t) on a grid padded so
+    the full t-draw support fits without wraparound (characteristic-
+    function power; magnitudes stay <= 1 so this is stable). Shared by
+    final_value_distribution (smooth Gaussian month law) and
+    bootstrap_final_value_distribution (table point masses)."""
+    n_grid = len(p_mass)
+    total_width = dy * (n_grid - 1) * t
+    n_total = int(2 ** np.ceil(np.log2(total_width / dy + n_grid)))
+    pm = np.zeros(n_total)
+    pm[:n_grid] = p_mass
+    chf = np.fft.rfft(pm)
+    conv = np.fft.irfft(chf ** t, n=n_total)
+    conv = np.maximum(conv, 0.0)
+    conv /= conv.sum()
+    # grid of the sum: starts at t*y_lo, spacing dy
+    log_v = np.log(initial_capital) + t * y_lo + dy * np.arange(n_total)
+    return np.exp(log_v), np.cumsum(conv)
+
+
 @lru_cache(maxsize=16)
 def final_value_distribution(mean_pct: float, std_pct: float,
                              n_periods: int, initial_capital: float,
@@ -65,22 +89,8 @@ def final_value_distribution(mean_pct: float, std_pct: float,
     agree to <3e-5, far below the 1e-3 bar this oracle serves).
     """
     y, pdf, dy = log_growth_pdf_grid(mean_pct, std_pct, n_grid)
-    t = n_periods
-    # support of the T-fold sum: T * [y_lo, y_hi]; center it
-    width_1 = y[-1] - y[0]
-    total_width = width_1 * t
-    n_total = int(2 ** np.ceil(np.log2(total_width / dy + n_grid)))
-    p = np.zeros(n_total)
-    p[:n_grid] = pdf * dy  # probability mass per cell
-    chf = np.fft.rfft(p)
-    # characteristic-function power; magnitudes stay <= 1 so this is stable
-    conv = np.fft.irfft(chf ** t, n=n_total)
-    conv = np.maximum(conv, 0.0)
-    conv /= conv.sum()
-    # grid of the sum: starts at t*y[0], spacing dy
-    log_v = np.log(initial_capital) + t * y[0] + dy * np.arange(n_total)
-    cdf = np.cumsum(conv)
-    return np.exp(log_v), cdf
+    return _convolve_log_pmf(pdf * dy, y[0], dy, n_periods,
+                             initial_capital)
 
 
 # ---------------------------------------------------------------------------
@@ -348,15 +358,4 @@ def bootstrap_final_value_distribution(returns_pct, n_periods: int,
     w = 1.0 / len(y_i)
     np.add.at(p, i0, w * (1.0 - frac))
     np.add.at(p, i0 + 1, w * frac)
-    t = n_periods
-    total_width = (y_hi - y_lo) * t
-    n_total = int(2 ** np.ceil(np.log2(total_width / dy + n_grid)))
-    pm = np.zeros(n_total)
-    pm[:n_grid] = p
-    chf = np.fft.rfft(pm)
-    conv = np.fft.irfft(chf ** t, n=n_total)
-    conv = np.maximum(conv, 0.0)
-    conv /= conv.sum()
-    log_v = np.log(initial_capital) + t * y_lo + dy * np.arange(n_total)
-    cdf = np.cumsum(conv)
-    return np.exp(log_v), cdf
+    return _convolve_log_pmf(p, y_lo, dy, n_periods, initial_capital)

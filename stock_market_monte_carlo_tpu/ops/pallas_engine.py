@@ -657,7 +657,8 @@ def clt_prefix_impl() -> str:
 def _build_clt_kernel(n_periods: int, n_hist_total: int,
                       with_strategy: bool = False,
                       with_hist: bool = True,
-                      keep_fold: bool = False):
+                      keep_fold: bool = False,
+                      prefix_impl: str = "mxu"):
     """``with_strategy`` enables multiplicative withdrawal strategies at
     CLT speed: per-month keep fractions fold into the per-block (1,K)
     affine constants (finals are free), and the per-path withdrawn total
@@ -744,7 +745,7 @@ def _build_clt_kernel(n_periods: int, n_hist_total: int,
                 )
                 wsum = jnp.zeros((P, 1), jnp.float32)
             else:
-                _prefix_impl = clt_prefix_impl()
+                _prefix_impl = prefix_impl
                 if _prefix_impl == "mxu":
                     # strictly-lower-triangular ones: (y @ L)[p, c] =
                     # sum_{d<c} y[p, d] — the exclusive prefix-sum as ONE
@@ -765,7 +766,10 @@ def _build_clt_kernel(n_periods: int, n_hist_total: int,
                         # excl = exp(log(gk) @ L). The 1e-37 clamp keeps
                         # a keep=0 month finite (-inf would NaN the
                         # matmul via -inf * 0); depleted paths then read
-                        # ~1e-34 instead of exactly 0.
+                        # ~1e-34 instead of exactly 0. Negative growth
+                        # never reaches here: extreme-volatility models
+                        # (a <= 16b, the mix's z bound) are routed to
+                        # ICDF by engine._effective_sampler.
                         y = jnp.log(jnp.maximum(gk, 1e-37))
                         excl = jnp.exp(jax.lax.dot_general(
                             y, l_strict, (((1,), (0,)), ((), ())),
@@ -867,9 +871,10 @@ def _build_clt_kernel(n_periods: int, n_hist_total: int,
 @lru_cache(maxsize=32)
 def _build_clt_call(n_periods: int, n_hist_total: int, ntiles: int,
                     interpret: bool, with_strategy: bool = False,
-                    with_hist: bool = True, keep_fold: bool = False):
+                    with_hist: bool = True, keep_fold: bool = False,
+                    prefix_impl: str = "mxu"):
     kernel = _build_clt_kernel(n_periods, n_hist_total, with_strategy,
-                               with_hist, keep_fold)
+                               with_hist, keep_fold, prefix_impl)
     in_specs = [
         pl.BlockSpec(memory_space=pltpu.SMEM),
         pl.BlockSpec(memory_space=pltpu.SMEM),
@@ -1015,7 +1020,7 @@ def _clt_chunk_stats(model, strategy, root_key, v0, path_offset, valid,
         keep = keep.at[:n_periods].set(_keep_factors(strategy, n_periods))
         operands.append(keep.reshape(nblocks, CLT_K))
     call = _build_clt_call(n_periods, hb, ntiles, interpret, with_strategy,
-                           mxu_hist, keep_fold)
+                           mxu_hist, keep_fold, clt_prefix_impl())
     outs = call(*operands)
     finals2d, partials = outs[0], outs[1]
 

@@ -439,3 +439,23 @@ def test_analytic_moment_shift_edges():
     assert analytic_moment_shift(h, NoWithdrawal(), 24) == (
         pytest.approx(gmean**24)
     )
+
+
+def test_clt_falls_back_to_icdf_for_extreme_volatility():
+    """Every CLT-family kernel takes log of growth products, so growth
+    must stay positive over the mix's bounded z support (|z| <= ~15.7);
+    extreme-volatility Gaussians must route to ICDF instead."""
+    from stock_market_monte_carlo_tpu.engine.engine import (
+        _effective_sampler,
+    )
+    from stock_market_monte_carlo_tpu.models.strategies import (
+        NoWithdrawal,
+    )
+
+    opts = EngineOptions(gaussian_sampler="clt")
+    calm = smmc.GaussianReturns()                      # a/b ~ 120
+    wild = smmc.GaussianReturns(mean_pct=0.5, std_pct=30.0)  # a/b ~ 3.3
+    assert _effective_sampler(calm, NoWithdrawal(), "pallas",
+                              opts) == "clt"
+    assert _effective_sampler(wild, NoWithdrawal(), "pallas",
+                              opts) == "icdf"

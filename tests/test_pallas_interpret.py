@@ -87,24 +87,28 @@ def test_sobol_deep_index_pallas_matches_xla():
 def test_clt_prefix_mxu_matches_roll(monkeypatch):
     """The two withdrawn-total prefix implementations (Hillis-Steele
     rolls vs log-space MXU matmul, SMMC_CLT_PREFIX) must agree through
-    the interpreter on identical streams. The env is read at trace time,
-    so every kernel cache is cleared between runs."""
-    import jax
-
-    import stock_market_monte_carlo_tpu.ops.pallas_engine as pe
+    the interpreter on identical streams. gaussian_sampler MUST be
+    "clt-prefix" — plain "clt" with a tracked-withdrawn strategy routes
+    to the ICDF kernel and would make this test vacuous. The build
+    caches are keyed by the implementation (engine._get_chunk_fn /
+    _build_clt_call), so no manual cache clearing is needed."""
     from stock_market_monte_carlo_tpu.models.strategies import (
         FixedPercentWithdrawal,
     )
 
     def run_once(impl):
         monkeypatch.setenv("SMMC_CLT_PREFIX", impl)
-        jax.clear_caches()
-        for attr in dir(pe):
-            obj = getattr(pe, attr)
-            if hasattr(obj, "cache_clear"):
-                obj.cache_clear()
-        opts = EngineOptions(backend="pallas", gaussian_sampler="clt",
+        opts = EngineOptions(backend="pallas",
+                             gaussian_sampler="clt-prefix",
                              chunk_paths=8192)
+        from stock_market_monte_carlo_tpu.engine.engine import (
+            _effective_sampler,
+        )
+
+        assert _effective_sampler(
+            smmc.GaussianReturns(), FixedPercentWithdrawal(0.25),
+            "pallas", opts,
+        ) == "clt-prefix"
         return smmc.simulate_stats(
             smmc.GaussianReturns(), 8192, 360, seed=3,
             strategy=FixedPercentWithdrawal(0.25),
@@ -113,14 +117,9 @@ def test_clt_prefix_mxu_matches_roll(monkeypatch):
 
     a = run_once("roll")
     b = run_once("mxu")
-    assert b.mean == pytest.approx(a.mean, rel=1e-5)
+    # measured rel diffs through the interpreter: mean 7.5e-6,
+    # withdrawn 5.8e-6 — bars leave ~3x headroom
+    assert b.mean == pytest.approx(a.mean, rel=3e-5)
     assert b.moments.total_withdrawn == pytest.approx(
-        a.moments.total_withdrawn, rel=1e-5
+        a.moments.total_withdrawn, rel=3e-5
     )
-    # leave no kernels traced under a non-default implementation
-    monkeypatch.delenv("SMMC_CLT_PREFIX", raising=False)
-    jax.clear_caches()
-    for attr in dir(pe):
-        obj = getattr(pe, attr)
-        if hasattr(obj, "cache_clear"):
-            obj.cache_clear()

@@ -172,4 +172,3 @@ def test_pallas_sharded_keep_finals(mesh8, historical_table):
                                          mesh=mesh8)
     assert sharded.shape == (n,)
     np.testing.assert_array_equal(single, sharded)
-
