@@ -159,11 +159,12 @@ def _band_mesh_fn(mesh, use_pallas, model_kind, rng, strategy_kind,
             )
 
     def device_fn(offsets, valids, *rest):
-        # Each device's counts are exact integers <= chunk_b <= 2^24 held
-        # in f32, but a b*n_dev-path dispatch can concentrate MORE than
-        # 2^24 paths in one cell (month-0 / underflow bins), where f32
-        # addition rounds. Merge across devices in int32 instead — exact
-        # to 2^31, and the cast of each per-device f32 count is lossless.
+        # Each device's counts are exact integers <= chunk_b (int32 from
+        # the Pallas i8-indicator kernel; f32 from the XLA matmul path,
+        # exact to 2^24), but a b*n_dev-path dispatch can concentrate
+        # MORE than 2^24 paths in one cell (month-0 / underflow bins),
+        # where f32 addition rounds. Merge across devices in int32 —
+        # exact to 2^31; the f32->int32 cast is lossless at <= 2^24.
         c = base(offsets[0], valids[0], *rest).astype(jnp.int32)
         return jax.lax.psum(c, axis)
 
@@ -264,8 +265,8 @@ def simulate_bands(
                 else eng._keep_factors(strategy, n_periods))
         # the fused kernel never materializes the (B, T) growth buffer, so
         # the XLA 1-GiB chunk bound does not apply — full 2^24-path chunks
-        # amortize dispatch overhead (the f32 count cap per cell per chunk
-        # still holds: no real cell can exceed the chunk's path count)
+        # amortize dispatch overhead (counts accumulate in int32 since the
+        # i8-indicator gemm: exact to 2^31 per cell, far above any chunk)
         b = min(options.chunk_paths, 1 << 24)
         b = max(pb.TILE_PATHS, (b // pb.TILE_PATHS) * pb.TILE_PATHS)
         # month 0: every valid path sits at v0 — bin it host-side with

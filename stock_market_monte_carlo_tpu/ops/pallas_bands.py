@@ -58,6 +58,14 @@ LO_W = 32  # lanes of the factorized one-hot gemm
 import os
 
 _ABLATE = os.environ.get("SMMC_BANDS_ABLATE", "")
+# indicator dtype for the factorized one-hot gemm: "i8" (default —
+# halves the bytes the per-month indicator relayout moves; measured
+# 482 vs 574 ms/chunk against the bf16 control in one batch,
+# exp_bands_attr.py, and the int32 accumulation is exact to 2^31/cell
+# where f32 capped at 2^24) or "bf16" (the original, kept for ablation)
+_OH_I8 = os.environ.get("SMMC_BANDS_OH", "i8") == "i8"
+_OH_DTYPE = jnp.int8 if _OH_I8 else jnp.bfloat16
+_ACC_DTYPE = jnp.int32 if _OH_I8 else jnp.float32
 
 
 def _nhi_pad(n_cells: int) -> int:
@@ -155,23 +163,23 @@ def _build_bands_kernel(kind: str, strategy_kind: str, n_periods: int,
             hi_b = idx >> 5
             lo_b = idx & (LO_W - 1)
             oh_hi = jnp.concatenate(
-                [(hi_b[r:r + 1, :] == rio).astype(jnp.bfloat16)
+                [(hi_b[r:r + 1, :] == rio).astype(_OH_DTYPE)
                  for r in range(TILE_ROWS)], axis=1,
             )
             oh_lo = jnp.concatenate(
-                [(lo_b[r:r + 1, :] == lio).astype(jnp.bfloat16)
+                [(lo_b[r:r + 1, :] == lio).astype(_OH_DTYPE)
                  for r in range(TILE_ROWS)], axis=1,
             )
             if _ABLATE == "nogemm":
                 mhist_ref[0:8, :] = (
                     mhist_ref[0:8, :]
-                    + oh_hi[0:8, 0:LO_W].astype(jnp.float32)
-                    + oh_lo[0:8, 0:LO_W].astype(jnp.float32)
+                    + oh_hi[0:8, 0:LO_W].astype(_ACC_DTYPE)
+                    + oh_lo[0:8, 0:LO_W].astype(_ACC_DTYPE)
                 )
                 return
             c = jax.lax.dot_general(
                 oh_hi, oh_lo, (((1,), (1,)), ((), ())),
-                preferred_element_type=jnp.float32,
+                preferred_element_type=_ACC_DTYPE,
             )
             if _ABLATE == "nostore":
                 mhist_ref[0:nhi_pad, :] = mhist_ref[0:nhi_pad, :] + c
@@ -223,7 +231,7 @@ def _build_bands_call(kind: str, strategy_kind: str, n_periods: int,
         memory_space=pltpu.VMEM,
     )
     out_shape = jax.ShapeDtypeStruct(
-        (n_periods * nhi_pad, LO_W), jnp.float32
+        (n_periods * nhi_pad, LO_W), _ACC_DTYPE
     )
     return pl.pallas_call(
         kernel,
