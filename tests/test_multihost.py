@@ -71,7 +71,16 @@ def test_two_process_distributed_mesh(tmp_path):
     flags.append("--xla_force_host_platform_device_count=4")
     env["XLA_FLAGS"] = " ".join(flags)
     repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
-    env["PYTHONPATH"] = repo + os.pathsep + env.get("PYTHONPATH", "")
+    # Strip the axon TPU-plugin site dir: the plugin registers its
+    # platform even under JAX_PLATFORMS=cpu, and in a jax.distributed
+    # cluster its post-initialize handshake can hang on tunnel state
+    # (observed 2026-08-17: both workers stuck right after
+    # distributed.initialize with axon on the path, instant without).
+    # This test is about CPU-mesh distribution — the plugin is
+    # environmental noise here.
+    keep = [p for p in env.get("PYTHONPATH", "").split(os.pathsep)
+            if p and "axon" not in p]
+    env["PYTHONPATH"] = os.pathsep.join([repo] + keep)
 
     script = tmp_path / "worker.py"
     script.write_text(_WORKER)
