@@ -18,13 +18,46 @@ import time
 
 import jax
 
-import stock_market_monte_carlo_tpu as smmc
-from stock_market_monte_carlo_tpu.config import EngineOptions
-
 BASELINE_PATHS_PER_S = 100_000_000 / 0.13  # RTX 3070 reduceBlock (README)
 
 
+def _require_live_backend(timeout_s: float = 180.0):
+    """Fail fast with a diagnostic JSON line if device discovery hangs.
+
+    The axon tunnel can wedge (observed 2026-08-17: jax.devices() blocks
+    forever); a clean error record beats an indefinite hang in an
+    automated bench run. 180 s comfortably covers the ~20-40 s first
+    initialization."""
+    import threading
+
+    out = {}
+
+    def probe():
+        out["backend"] = jax.default_backend()
+        out["n"] = len(jax.devices())
+
+    t = threading.Thread(target=probe, daemon=True)
+    t.start()
+    t.join(timeout_s)
+    if t.is_alive():
+        print(json.dumps({
+            "metric": "paths_per_sec_per_chip_360mo_historical_fused_hist",
+            "value": 0.0, "unit": "paths/s/chip", "vs_baseline": 0.0,
+            "extra": {"error": "device discovery hung for "
+                               f"{timeout_s:.0f}s (tunnel down?)"},
+        }), flush=True)
+        raise SystemExit(2)
+    return out
+
+
 def main():
+    # the guard must run before the package import — importing the
+    # package initializes the backend and hangs the same way
+    _require_live_backend()
+    global smmc, EngineOptions
+    import stock_market_monte_carlo_tpu as smmc
+    from stock_market_monte_carlo_tpu.config import EngineOptions
+
     n_paths = int(sys.argv[1]) if len(sys.argv) > 1 else 100_000_000
     n_periods = int(sys.argv[2]) if len(sys.argv) > 2 else 360
 
