@@ -33,18 +33,22 @@ def _require_live_backend(timeout_s: float = 180.0):
     out = {}
 
     def probe():
-        out["backend"] = jax.default_backend()
-        out["n"] = len(jax.devices())
+        try:
+            out["backend"] = jax.default_backend()
+            out["n"] = len(jax.devices())
+        except Exception as e:  # a fast-failing backend also needs the
+            out["error"] = f"{type(e).__name__}: {e}"  # diagnostic line
 
     t = threading.Thread(target=probe, daemon=True)
     t.start()
     t.join(timeout_s)
-    if t.is_alive():
+    err = (f"device discovery hung for {timeout_s:.0f}s (tunnel down?)"
+           if t.is_alive() else out.get("error"))
+    if err:
         print(json.dumps({
             "metric": "paths_per_sec_per_chip_360mo_historical_fused_hist",
             "value": 0.0, "unit": "paths/s/chip", "vs_baseline": 0.0,
-            "extra": {"error": "device discovery hung for "
-                               f"{timeout_s:.0f}s (tunnel down?)"},
+            "extra": {"error": err},
         }), flush=True)
         raise SystemExit(2)
     return out

@@ -18,6 +18,7 @@ import sys
 import time
 
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, REPO)
 N_PATHS = 1 << 25   # 2 chunks of 2^24
 T = 360
 
@@ -58,7 +59,11 @@ def report():
 
 
 if __name__ == "__main__":
-    if len(sys.argv) > 2 and sys.argv[1] == "run":
+    if len(sys.argv) > 1 and sys.argv[1] == "run":
+        if len(sys.argv) < 3:
+            sys.exit("usage: exp_bands_attr.py run <full|nocount|nogemm>")
         run(sys.argv[2])
+    elif len(sys.argv) > 1 and sys.argv[1] != "report":
+        sys.exit("usage: exp_bands_attr.py [report|run <ablate>]")
     else:
         report()

@@ -79,7 +79,7 @@ def test_two_process_distributed_mesh(tmp_path):
     # This test is about CPU-mesh distribution — the plugin is
     # environmental noise here.
     keep = [p for p in env.get("PYTHONPATH", "").split(os.pathsep)
-            if p and "axon" not in p]
+            if p and "axon" not in os.path.basename(os.path.normpath(p))]
     env["PYTHONPATH"] = os.pathsep.join([repo] + keep)
 
     script = tmp_path / "worker.py"
