@@ -459,3 +459,22 @@ def test_clt_falls_back_to_icdf_for_extreme_volatility():
                               opts) == "clt"
     assert _effective_sampler(wild, NoWithdrawal(), "pallas",
                               opts) == "icdf"
+
+
+def test_degenerate_sizes():
+    """n_paths=1 and n_periods=1 through the full engine: one masked
+    tile, exact counts, a one-path 'distribution'."""
+    res = smmc.simulate_stats(GAUSS, 1, 1, seed=4, target_amount=2000.0)
+    assert res.moments.n == 1
+    assert res.histogram_counts.sum() == 1
+    assert res.std == 0.0
+    # the single final equals v0 * (1 + r/100) for the seed's one draw
+    f = smmc.simulate_final_values(GAUSS, 1, 1, seed=4)
+    assert f.shape == (1,)
+    assert res.mean == pytest.approx(float(f[0]), rel=1e-6)
+    # a prime path count keeps exact accounting
+    n_prime = 10007
+    r2 = smmc.simulate_stats(GAUSS, n_prime, 7, seed=4,
+                             target_amount=2000.0)
+    assert r2.moments.n == n_prime
+    assert r2.histogram_counts.sum() == n_prime
