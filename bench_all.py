@@ -111,6 +111,20 @@ def main():
           {"median_final": round(float(b.band(0.5)[-1]), 1),
            "host_transfer_bytes": int(b.month_hist.nbytes)})
 
+    # 7. CDF band mode (band_mode="cdf"): config 6's capability via
+    # counts below 32 analytic thresholds per month (no indicator
+    # relayout/gemm) + probit inversion — Pallas backend only
+    from stock_market_monte_carlo_tpu.engine.engine import resolve_backend
+
+    if resolve_backend(opts) == "pallas":
+        smmc.simulate_bands(gauss, min(n6, 2**20), t_mo, seed=1,
+                            band_mode="cdf")  # warm
+        t0 = time.perf_counter()
+        c = smmc.simulate_bands(gauss, n6, t_mo, seed=6, band_mode="cdf")
+        _line("trajectory_bands_cdf", n6, t_mo, time.perf_counter() - t0,
+              {"median_final": round(float(c.band(0.5)[-1]), 1),
+               "host_transfer_bytes": int(c.month_hist.nbytes)})
+
 
 if __name__ == "__main__":
     main()

@@ -82,6 +82,10 @@ def main():
         ("bands historical", hist, {}),
         ("bands fixed-percent", gauss,
          {"strategy": FixedPercentWithdrawal(0.25)}),
+        ("cdf-bands gauss", gauss, {"band_mode": "cdf"}),
+        ("cdf-bands historical", hist, {"band_mode": "cdf"}),
+        ("cdf-bands fixed-percent", gauss,
+         {"strategy": FixedPercentWithdrawal(0.25), "band_mode": "cdf"}),
     ]
     for name, model, kw in band_jobs:
         t0 = time.perf_counter()

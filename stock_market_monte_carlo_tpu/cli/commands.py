@@ -265,6 +265,7 @@ def visualize_bands(args):
         model, args.n_simulations, args.n_months,
         seed=args.seed, sample_paths=args.curves,
         progress=TerminalProgress(),
+        band_mode=getattr(args, "band_mode", "hist"),
     )
     for q, row in zip(bands.quantile_levels, bands.values):
         print(f"p{int(q * 100):02d} final: {row[-1]:,.2f}")

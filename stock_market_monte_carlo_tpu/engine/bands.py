@@ -43,9 +43,12 @@ class TrajectoryBands:
     months: np.ndarray          # (T+1,)
     sample_paths: np.ndarray    # (k, T+1)
     n_paths: int
-    month_hist: np.ndarray      # (T+1, n_bins+2) accumulated counts
+    month_hist: np.ndarray      # (T+1, n_bins+2) accumulated counts; in
+    # band_mode="cdf" this is the (T+1, K) counts-BELOW table instead
     centers: np.ndarray         # (T+1,) log centers
     scales: np.ndarray          # (T+1,) log scales
+    mode: str = "hist"
+    log_thresholds: np.ndarray | None = None  # (T+1, K), cdf mode only
 
     def band(self, level: float) -> np.ndarray:
         return self.values[self.quantile_levels.index(level)]
@@ -120,25 +123,42 @@ _BAND_MESH_FN_CACHE = {}
 
 
 def _band_mesh_fn(mesh, use_pallas, model_kind, rng, strategy_kind,
-                  n_periods, chunk_b, n_bins, linear, has_keep):
+                  n_periods, chunk_b, n_bins, linear, has_keep,
+                  cdf_kappas=None):
     """jit(shard_map(...)) of a band chunk fn over the path axis: each
     device computes its shard's month-histogram and the counts merge with
     one psum over ICI — the multi-device band launcher. Signature of the
     returned fn: (offsets, valids, model, strategy, root_key,
     scramble_key, v0, aux_a, aux_b, keep) with offsets/valids
-    P("paths")-sharded and everything else replicated."""
+    P("paths")-sharded and everything else replicated.
+
+    With ``cdf_kappas`` (a (kappa_lo, kappa_hi) float pair) the Pallas
+    chunk fn is the CDF-mode kernel instead: aux_a/aux_b are the per-month
+    log-threshold coefficients and ``n_bins`` is the threshold count K."""
     from jax.sharding import PartitionSpec as P
 
     mesh_key = (mesh.axis_names, mesh.devices.shape,
                 tuple(d.id for d in mesh.devices.flat))
     key = (use_pallas, model_kind, rng, strategy_kind, n_periods,
-           chunk_b, n_bins, linear, has_keep, mesh_key)
+           chunk_b, n_bins, linear, has_keep, cdf_kappas, mesh_key)
     fn = _BAND_MESH_FN_CACHE.get(key)
     if fn is not None:
         return fn
     axis = mesh.axis_names[0]
 
-    if use_pallas:
+    if cdf_kappas is not None:
+        from stock_market_monte_carlo_tpu.ops import pallas_bands as pb
+
+        def base(off, val, model, strategy, root_key, scramble_key, v0,
+                 aux_a, aux_b, keep):
+            del scramble_key
+            return pb.pallas_chunk_month_cdf(
+                model, strategy, root_key, v0, off, val, aux_a, aux_b,
+                cdf_kappas[0], cdf_kappas[1], n_periods=n_periods,
+                chunk_shape_b=chunk_b, n_thresholds=n_bins,
+                keep=keep if has_keep else None,
+            )
+    elif use_pallas:
         from stock_market_monte_carlo_tpu.ops import pallas_bands as pb
 
         def base(off, val, model, strategy, root_key, scramble_key, v0,
@@ -192,6 +212,8 @@ def simulate_bands(
     options: EngineOptions = EngineOptions(),
     progress=None,
     mesh=None,
+    band_mode: str = "hist",
+    n_thresholds: int = 32,
 ) -> TrajectoryBands:
     """Percentile bands over the full horizon for any number of paths.
 
@@ -200,6 +222,14 @@ def simulate_bands(
     With a ``mesh``, each chunk shards over the path axis and the
     per-month histograms merge with a psum over ICI (counter-based
     streams make the result identical to the single-device run).
+
+    ``band_mode="cdf"`` (opt-in, Pallas backend only) replaces the
+    per-month histogram with counts below ``n_thresholds``
+    analytically-placed value thresholds per month and inverts quantiles
+    by probit interpolation — the same sample (identical RNG streams)
+    reduced with far less in-kernel work (see ops/pallas_bands.py). The
+    returned ``month_hist`` is then the counts-below table and
+    ``log_thresholds`` holds the threshold grid.
     """
     from stock_market_monte_carlo_tpu.engine import engine as eng
 
@@ -254,7 +284,58 @@ def simulate_bands(
         and eng.resolve_backend(options) == "pallas"
         and pb.bands_supported(model, strategy.kind)
     )
-    if use_pallas:
+    if band_mode not in ("hist", "cdf"):
+        raise ValueError(f"band_mode must be 'hist' or 'cdf', got "
+                         f"{band_mode!r}")
+    use_cdf = band_mode == "cdf"
+    if use_cdf:
+        if linear:
+            raise ValueError(
+                "band_mode='cdf' needs a multiplicative strategy (the "
+                "log-space threshold grid cannot bracket fixed-amount "
+                "withdrawals) — use band_mode='hist'"
+            )
+        if not use_pallas:
+            raise ValueError(
+                "band_mode='cdf' runs on the fused Pallas band kernels "
+                "only: set EngineOptions(backend='pallas') and use a "
+                "gaussian/historical counter-rng model"
+            )
+        if not pb.cdf_supported(model, strategy.kind, n_periods,
+                                n_thresholds):
+            raise ValueError(
+                f"band_mode='cdf' unsupported for n_periods={n_periods}, "
+                f"n_thresholds={n_thresholds}: K must be a multiple of 8 "
+                f">= 8 and the (T*K, 128) int32 accumulator must fit the "
+                f"VMEM budget (T*K <= {pb._CDF_VMEM_CAP // 512})"
+            )
+        # threshold grid: interior rows 1..K-2 at uniform z in
+        # [-Z_INT, Z_INT]; guard rows 0 / K-1 at -/+Z_GUARD expressed as
+        # fractional k on the same affine-in-k log grid (the kernel
+        # builds thresholds from two SMEM scalars per month)
+        z_int, z_guard = 6.0, 14.0
+        dz = 2.0 * z_int / (n_thresholds - 3)
+        z0 = -z_int - dz
+        kap_lo = (-z_guard - z0) / dz
+        kap_hi = (z_guard - z0) / dz
+        kkv = np.arange(n_thresholds, dtype=np.float64)
+        kkv[0], kkv[-1] = kap_lo, kap_hi
+        cdf_a = (centers + z0 * scales).astype(np.float32)   # (T+1,)
+        cdf_b = (dz * scales).astype(np.float32)
+        # mirror the kernel's f32 threshold arithmetic so the host
+        # inversion uses (to 1 ulp of the final exp) the thresholds the
+        # kernel actually compared against
+        logthr = (cdf_a[:, None]
+                  + kkv.astype(np.float32)[None, :] * cdf_b[:, None]
+                  ).astype(np.float64)
+        coef_a, coef_b = cdf_a[1:], cdf_b[1:]
+        keep = (None if isinstance(strategy, NoWithdrawal)
+                else eng._keep_factors(strategy, n_periods))
+        b = min(options.chunk_paths, 1 << 24)
+        b = max(pb.TILE_PATHS, (b // pb.TILE_PATHS) * pb.TILE_PATHS)
+        # month 0: every valid path sits at v0 — a host-side indicator row
+        m0row = (np.log(initial_capital) < logthr[0]).astype(np.float64)
+    elif use_pallas:
         nb2z = n_bins / (2.0 * Z_RANGE)
         inv_s = 1.0 / scales
         coef_a = (inv_s[1:] * nb2z).astype(np.float32)
@@ -293,7 +374,20 @@ def simulate_bands(
             has_keep = False
             keep_arr = jnp.zeros((1,), jnp.float32)
 
-    total = np.zeros((n_periods + 1, n_bins + 2), np.float64)
+    if use_cdf:
+        total = np.zeros((n_periods + 1, n_thresholds), np.float64)
+
+        def absorb(counts, valid):
+            out = np.zeros_like(total)
+            out[0] = float(valid) * m0row
+            out[1:] = np.asarray(counts, np.float64)
+            return out
+    else:
+        total = np.zeros((n_periods + 1, n_bins + 2), np.float64)
+
+        def absorb(counts, valid):
+            return _expand(counts, valid, use_pallas,
+                           idx0 if use_pallas else 0)
     done, offset, remaining = 0, 0, n_paths
     pending = None  # (device counts, valid) — fetch overlaps next chunk
     while remaining > 0:
@@ -308,8 +402,10 @@ def simulate_bands(
             fn = _band_mesh_fn(
                 mesh, use_pallas, model.kind,
                 getattr(model, "rng", "counter"), strategy.kind,
-                n_periods, this_b, n_bins, linear,
+                n_periods, this_b,
+                n_thresholds if use_cdf else n_bins, linear,
                 has_keep,
+                cdf_kappas=(kap_lo, kap_hi) if use_cdf else None,
             )
             np_off = np.uint32(offset) + np.uint32(this_b) * np.arange(
                 n_dev, dtype=np.uint32
@@ -327,6 +423,13 @@ def simulate_bands(
             )
             counts = fn(offsets, valids, model, strategy, root_key,
                         scramble_key, v0, aux_a, aux_b, keep_arr)
+        elif use_cdf:
+            counts = pb.pallas_chunk_month_cdf(
+                model, strategy, root_key, v0, jnp.uint32(offset),
+                jnp.int32(valid), coef_a, coef_b, kap_lo, kap_hi,
+                n_periods=n_periods, chunk_shape_b=this_b,
+                n_thresholds=n_thresholds, keep=keep,
+            )
         elif use_pallas:
             counts = pb.pallas_chunk_month_hist(
                 model, strategy, root_key, v0, jnp.uint32(offset),
@@ -345,8 +448,7 @@ def simulate_bands(
             # device-to-host path, and the float64 accumulation is the
             # reason counts must cross per chunk (f32 device totals would
             # saturate at 2^24 per bin)
-            total += _expand(pending[0], pending[1], use_pallas, idx0
-                             if use_pallas else 0)
+            total += absorb(pending[0], pending[1])
             done += pending[1]
             if progress is not None:
                 progress(done, n_paths)
@@ -354,8 +456,7 @@ def simulate_bands(
         offset += this_b * n_dev
         remaining -= valid
     if pending is not None:
-        total += _expand(pending[0], pending[1], use_pallas,
-                         idx0 if use_pallas else 0)
+        total += absorb(pending[0], pending[1])
         done += pending[1]
         if progress is not None:
             progress(done, n_paths)
@@ -366,6 +467,32 @@ def simulate_bands(
 
     qs = tuple(quantile_levels)
     values = np.empty((len(qs), n_periods + 1))
+    if use_cdf:
+        # probit-space interpolation of the K-point per-month CDF; ranks
+        # below the underflow-guard threshold (depleted mass) -> 0.0
+        values[:, 0] = initial_capital  # month 0 is exactly v0
+        for tt in range(1, n_periods + 1):
+            lq = red.cdf_band_quantiles(total[tt], logthr[tt], qs,
+                                        n_paths)
+            v = np.exp(lq)
+            v[~np.isfinite(lq)] = 0.0
+            values[:, tt] = v
+        k = min(sample_paths, n_paths)
+        sample = np.asarray(eng.simulate_paths(
+            model, k, n_periods, initial_capital, seed, strategy
+        )) if k > 0 else np.empty((0, n_periods + 1))
+        return TrajectoryBands(
+            quantile_levels=qs,
+            values=values,
+            months=months,
+            sample_paths=sample,
+            n_paths=n_paths,
+            month_hist=total,
+            centers=centers,
+            scales=scales,
+            mode="cdf",
+            log_thresholds=logthr,
+        )
     if linear:
         z_edges = np.linspace(0.0, 1.0, n_bins + 1)
     else:

@@ -251,6 +251,245 @@ def bands_supported(model, strategy_kind: str) -> bool:
     )
 
 
+# ---------------------------------------------------------------------------
+# CDF band mode: per-month counts below K analytically-placed thresholds.
+#
+# The hist kernel's per-month indicator build is relayout-bound (~70% of
+# the kernel, optimization_log v11): concatenating 64 per-row compare
+# pieces into (rows, 8192) gemm operands moves ~1 MB/month/tile of VMEM.
+# Here month t is reduced to K counts-below instead of an n_bins
+# histogram: thr[t, k] = exp(A_t + kk_k * B_t) is affine-in-k in log
+# space (a uniform z grid with +/-Z guard rows at fractional k), built
+# per month from TWO SMEM scalars with one fma + exp on a (K, 128) vreg
+# set; each of the 64 tile rows then broadcast-compares against it and
+# accumulates int32 lane-partial counts — no concatenation, no relayout,
+# no gemm, and no per-month log of the running totals (the compare is
+# monotone, so it runs in value space). Host-side quantile inversion
+# interpolates the K-point CDF in probit space (ops/reductions.py:
+# cdf_band_quantiles) — exact whenever the sample is lognormal between
+# adjacent thresholds, which the per-month values are to CLT accuracy.
+# ---------------------------------------------------------------------------
+
+CDF_THRESHOLDS = 32        # default K (multiple of 8; rows of one block)
+# VMEM cap for the persistent (T*K, 128) int32 accumulator (~half of the
+# ~16 MB/core budget, leaving room for the table + working set)
+_CDF_VMEM_CAP = 8 << 20
+
+
+def _build_cdf_kernel(kind: str, strategy_kind: str, n_periods: int,
+                      n_table_chunks: int, n_thr: int):
+    """Kernel over tiles of TILE_PATHS paths; one grid step per tile.
+
+    Ref layout matches _build_bands_kernel except:
+      fscal[3], fscal[4]: kappa_lo / kappa_hi — the fractional k indices
+        that place the under/overflow guard thresholds on the same
+        affine-in-k log grid as the interior rows
+      ab (SMEM f32 (T, 2)): per-month log-threshold coefficients A_t, B_t
+        with log thr[t, k] = A_t + kk_k * B_t
+      mcdf (T * n_thr, 128) i32 out — lane-partial counts below each
+        threshold; the host (or the wrapper) sums lanes.
+    """
+    is_hist = kind.endswith("historical")
+    has_keep = strategy_kind in ("fixed_percent", "variable_percent")
+
+    def kernel(*refs):
+        it = iter(refs)
+        iscal = next(it)
+        fscal = next(it)
+        ab_ref = next(it)
+        table_ref = next(it) if is_hist else None
+        keep_ref = next(it) if has_keep else None
+        mcdf_ref = next(it)
+
+        pid = pl.program_id(0)
+        tile = iscal[1] + pid
+        v0, a, b = fscal[0], fscal[1], fscal[2]
+        pltpu.prng_seed(_tile_seed_i32(iscal[0], tile))
+
+        rr = jax.lax.broadcasted_iota(jnp.int32, (TILE_ROWS, 128), 0)
+        ll = jax.lax.broadcasted_iota(jnp.int32, (TILE_ROWS, 128), 1)
+        local_id = pid * TILE_PATHS + rr * 128 + ll
+        mask = local_id < iscal[2]
+
+        @pl.when(pid == 0)
+        def _init():
+            mcdf_ref[:] = jnp.zeros_like(mcdf_ref)
+
+        if is_hist:
+            rows = [
+                jnp.broadcast_to(
+                    table_ref[c, :][None, :], (TILE_ROWS, 128)
+                )
+                for c in range(n_table_chunks)
+            ]
+            n_i32 = iscal[3]
+            tail_n = iscal[4]
+            n_valid = jnp.where(
+                ll < tail_n, jnp.int32(n_table_chunks),
+                jnp.int32(n_table_chunks - 1),
+            )
+
+            def growth(t):
+                # identical stream recipe to _build_bands_kernel /
+                # ops/pallas_engine._build_kernel, so hist- and cdf-mode
+                # runs with the same seed count the SAME sample
+                del t
+                return _sliced_rotation_draw(
+                    rows, ll, n_valid, n_i32, tail_n, n_table_chunks
+                )
+        else:
+            def growth(t):
+                del t
+                u = _u23_from_bits(
+                    pltpu.prng_random_bits((TILE_ROWS, 128))
+                )
+                z = jnp.float32(_SQRT2) * _erfinv_poly(2.0 * u - 1.0)
+                return a + b * z
+
+        # threshold row indices: interior rows at their integer k, guard
+        # rows 0 / n_thr-1 at the fractional kappas (built once per tile)
+        kio = jax.lax.broadcasted_iota(jnp.int32, (n_thr, 128), 0)
+        kk = kio.astype(jnp.float32)
+        kk = jnp.where(kio == 0, fscal[3], kk)
+        kk = jnp.where(kio == n_thr - 1, fscal[4], kk)
+
+        def count_month(t, tc, total):
+            live = jnp.logical_and(mask, t < n_periods)
+            # dead lanes/months to +inf: never below any finite threshold
+            tl = jnp.where(live, total, jnp.float32(np.inf))
+            thr = jnp.exp(ab_ref[tc, 0] + kk * ab_ref[tc, 1])
+            acc = jnp.zeros((n_thr, 128), jnp.int32)
+            for r in range(TILE_ROWS):
+                acc = acc + (tl[r:r + 1, :] < thr).astype(jnp.int32)
+            base = tc * n_thr
+            mcdf_ref[pl.ds(base, n_thr), :] = (
+                mcdf_ref[pl.ds(base, n_thr), :] + acc
+            )
+
+        UNROLL = 4
+        n_iters = -(-n_periods // UNROLL)
+        v0_tile = jnp.full((TILE_ROWS, 128), 1.0, jnp.float32) * v0
+
+        def body(i, total):
+            for s in range(UNROLL):
+                t = i * UNROLL + s
+                tc = jnp.minimum(t, n_periods - 1)
+                g = growth(tc)
+                if has_keep:
+                    g = g * keep_ref[tc, 0]
+                new_total = total * g
+                total = jnp.where(t < n_periods, new_total, total)
+                count_month(t, tc, total)
+            return total
+
+        jax.lax.fori_loop(0, n_iters, body, v0_tile)
+
+    return kernel
+
+
+@lru_cache(maxsize=16)
+def _build_cdf_call(kind: str, strategy_kind: str, n_periods: int,
+                    n_table_chunks: int, n_thr: int, ntiles: int,
+                    interpret):
+    kernel = _build_cdf_kernel(kind, strategy_kind, n_periods,
+                               n_table_chunks, n_thr)
+    in_specs = [
+        pl.BlockSpec(memory_space=pltpu.SMEM),  # iscal
+        pl.BlockSpec(memory_space=pltpu.SMEM),  # fscal
+        pl.BlockSpec(memory_space=pltpu.SMEM),  # ab
+    ]
+    if kind.endswith("historical"):
+        in_specs.append(pl.BlockSpec(memory_space=pltpu.VMEM))
+    if strategy_kind in ("fixed_percent", "variable_percent"):
+        in_specs.append(pl.BlockSpec(memory_space=pltpu.SMEM))
+    out_specs = pl.BlockSpec(
+        (n_periods * n_thr, 128), lambda i: (0, 0),
+        memory_space=pltpu.VMEM,
+    )
+    out_shape = jax.ShapeDtypeStruct((n_periods * n_thr, 128), jnp.int32)
+    return pl.pallas_call(
+        kernel,
+        grid=(ntiles,),
+        in_specs=in_specs,
+        out_specs=out_specs,
+        out_shape=out_shape,
+        interpret=interpret,
+    )
+
+
+def cdf_supported(model, strategy_kind: str, n_periods: int,
+                  n_thresholds: int = CDF_THRESHOLDS) -> bool:
+    """CDF band mode needs the band kernels AND the persistent
+    (T*K, 128) int32 accumulator to fit the VMEM budget."""
+    return (
+        bands_supported(model, strategy_kind)
+        and n_thresholds % 8 == 0
+        and n_thresholds >= 8
+        and n_periods * n_thresholds * 128 * 4 <= _CDF_VMEM_CAP
+    )
+
+
+def pallas_chunk_month_cdf(model, strategy, root_key, v0, path_offset,
+                           valid, coef_a, coef_b, kappa_lo, kappa_hi, *,
+                           n_periods, chunk_shape_b, n_thresholds,
+                           keep=None):
+    """(T, K) int32 counts-below for months 1..T of one chunk.
+
+    ``coef_a``/``coef_b``: (T,) per-month log-threshold coefficients with
+    log thr[t, k] = A_t + kk_k * B_t, kk the integer row index except the
+    guard rows 0 / K-1 which sit at ``kappa_lo`` / ``kappa_hi``. Month 0
+    (every path at v0) is a host-side constant and not computed here.
+    Counts per (threshold, lane) cell stay < 2^31 for any chunk
+    (<= TILE_ROWS per tile per month, < 2^25 tiles).
+    """
+    assert chunk_shape_b % TILE_PATHS == 0, (chunk_shape_b, TILE_PATHS)
+    ntiles = chunk_shape_b // TILE_PATHS
+    interpret = interpret_mode(model.kind)
+
+    operands = []
+    n_table = 0
+    n_table_chunks = 0
+    if model.kind.endswith("historical"):
+        table2d, n_table = _pad_table(model.returns_pct)
+        n_table_chunks = int(table2d.shape[0])
+        operands.append(table2d)
+    if keep is not None:
+        operands.append(jnp.asarray(keep, jnp.float32).reshape(-1, 1))
+
+    tail_n = n_table - 128 * (n_table_chunks - 1) if n_table else 0
+    iscal = jnp.stack([
+        _seed_base_i32(root_key),
+        jax.lax.bitcast_convert_type(
+            jnp.asarray(path_offset, jnp.uint32) // jnp.uint32(TILE_PATHS),
+            jnp.int32,
+        ),
+        jnp.asarray(valid, jnp.int32),
+        jnp.asarray(n_table, jnp.int32),
+        jnp.asarray(tail_n, jnp.int32),
+        jnp.int32(0), jnp.int32(0), jnp.int32(0),
+    ])
+    mean = getattr(model, "mean_pct", 0.0)
+    std = getattr(model, "std_pct", 0.0)
+    fscal = jnp.stack([
+        jnp.asarray(v0, jnp.float32),
+        1.0 + jnp.asarray(mean, jnp.float32) * 0.01,
+        jnp.asarray(std, jnp.float32) * 0.01,
+        jnp.float32(kappa_lo), jnp.float32(kappa_hi),
+        jnp.float32(0), jnp.float32(0), jnp.float32(0),
+    ])
+    ab = jnp.stack([
+        jnp.asarray(coef_a, jnp.float32), jnp.asarray(coef_b, jnp.float32)
+    ], axis=1)
+
+    strategy_kind = strategy.kind if keep is not None else "none"
+    call = _build_cdf_call(
+        model.kind, strategy_kind, n_periods, n_table_chunks,
+        n_thresholds, ntiles, interpret,
+    )
+    mcdf = call(iscal, fscal, ab, *operands)
+    return mcdf.reshape(n_periods, n_thresholds, 128).sum(axis=2)
+
+
 def pallas_chunk_month_hist(model, strategy, root_key, v0, path_offset,
                             valid, coef_a, coef_b, *, n_periods,
                             chunk_shape_b, n_bins, keep=None):

@@ -258,6 +258,91 @@ def quantiles_from_histogram(spec: HistogramSpec, counts: np.ndarray,
     return np.exp(grid_quantiles(counts, log_edges, qs))
 
 
+def norm_icdf64(p):
+    """Float64 standard-normal quantile on the host (Acklam's rational
+    approximation, ~1.15e-9 relative error — far below any Monte Carlo
+    resolution here). numpy has no erfinv and scipy is not a dependency,
+    so the bands CDF-mode inversion carries its own."""
+    p = np.asarray(p, np.float64)
+    a = (-3.969683028665376e+01, 2.209460984245205e+02,
+         -2.759285104469687e+02, 1.383577518672690e+02,
+         -3.066479806614716e+01, 2.506628277459239e+00)
+    b = (-5.447609879822406e+01, 1.615858368580409e+02,
+         -1.556989798598866e+02, 6.680131188771972e+01,
+         -1.328068155288572e+01)
+    c = (-7.784894002430293e-03, -3.223964580411365e-01,
+         -2.400758277161838e+00, -2.549732539343734e+00,
+         4.374664141464968e+00, 2.938163982698783e+00)
+    d = (7.784695709041462e-03, 3.224671290700398e-01,
+         2.445134137142996e+00, 3.754408661907416e+00)
+    p = np.clip(p, 1e-300, 1.0 - 1e-16)
+    out = np.empty_like(p)
+    lo = p < 0.02425
+    hi = p > 1.0 - 0.02425
+    mid = ~(lo | hi)
+
+    def tail(pp):
+        q = np.sqrt(-2.0 * np.log(pp))
+        num = ((((c[0] * q + c[1]) * q + c[2]) * q + c[3]) * q + c[4]) \
+            * q + c[5]
+        den = (((d[0] * q + d[1]) * q + d[2]) * q + d[3]) * q + 1.0
+        return num / den
+
+    out[lo] = tail(p[lo])
+    out[hi] = -tail(1.0 - p[hi])
+    q = p[mid] - 0.5
+    r = q * q
+    num = ((((a[0] * r + a[1]) * r + a[2]) * r + a[3]) * r + a[4]) \
+        * r + a[5]
+    den = ((((b[0] * r + b[1]) * r + b[2]) * r + b[3]) * r + b[4]) \
+        * r + 1.0
+    out[mid] = q * num / den
+    return out
+
+
+def cdf_band_quantiles(counts_below: np.ndarray,
+                       log_thresholds: np.ndarray, qs,
+                       n_valid: int) -> np.ndarray:
+    """Quantiles (in log-value space) from counts-below at K monotone
+    thresholds — the host inversion of the bands CDF mode
+    (ops/pallas_bands.pallas_chunk_month_cdf).
+
+    Interpolation runs in probit space: with F_k the empirical CDF at
+    threshold k, the crossing of level q between thresholds j-1 and j is
+    placed at the z-fraction (z(q) - z(F_{j-1})) / (z(F_j) - z(F_{j-1})).
+    This is EXACT whenever the sample is lognormal between the two
+    thresholds (the per-month values are, to CLT accuracy), so K ~ 32
+    thresholds resolve band quantiles as sharply as a fine histogram.
+
+    Returns -inf for quantiles whose rank falls below the first
+    (underflow-guard) threshold — the depleted/underflow mass, mapped to
+    fund value 0.0 by the caller, matching the hist mode's underflow bin.
+    Quantiles past the last threshold clamp to it (the +z guard makes
+    that mass ~0 for any real run).
+    """
+    F = np.asarray(counts_below, np.float64) / float(n_valid)
+    L = np.asarray(log_thresholds, np.float64)
+    eps = 0.5 / float(max(n_valid, 1))
+    z = norm_icdf64(np.clip(F, eps, 1.0 - eps))
+    out = []
+    for q in np.atleast_1d(qs):
+        j = int(np.searchsorted(F, q, side="left"))  # first F_j >= q
+        if j == 0:
+            out.append(-np.inf)
+            continue
+        if j >= len(F):
+            out.append(L[-1])
+            continue
+        za, zb = z[j - 1], z[j]
+        if zb <= za:  # flat segment (both clipped / zero mass between)
+            w = 0.5
+        else:
+            zq = float(norm_icdf64(np.clip(q, eps, 1.0 - eps)))
+            w = float(np.clip((zq - za) / (zb - za), 0.0, 1.0))
+        out.append(L[j - 1] + w * (L[j] - L[j - 1]))
+    return np.asarray(out)
+
+
 def exact_quantiles(finals: jax.Array, qs) -> np.ndarray:
     """Exact quantiles via on-device sort — replaces the reference's
     3x nth_element ``update_quartiles`` (visualize_returns_cpu.cpp:83-110)."""

@@ -168,3 +168,154 @@ def test_fused_pallas_bands_sharded_composition(mesh8):
     )
     np.testing.assert_array_equal(b.month_hist.sum(axis=1),
                                   np.full(t + 1, n))
+
+
+# ---------------------------------------------------------------------------
+# CDF band mode (band_mode="cdf"): per-month counts below K
+# analytically-placed thresholds + probit-space host inversion
+# (ops/pallas_bands.pallas_chunk_month_cdf, ops/reductions.
+# cdf_band_quantiles). Statistical band parity vs the hist mode runs on
+# hardware (tests/test_tpu_only.py::test_cdf_bands_parity_vs_hist —
+# SAME streams, so the comparison is sample-exact); here the
+# TPU-semantics interpreter checks composition, invariants, and the
+# inversion against numpy oracles.
+# ---------------------------------------------------------------------------
+
+
+def test_cdf_inversion_matches_exact_quantiles():
+    """Probit-space interpolation of a 32-point CDF must recover exact
+    sample quantiles of a realistic compound-growth sample to ~1e-3 z
+    (~1e-4 relative value) — sharper than the hist mode's bin width."""
+    from stock_market_monte_carlo_tpu.ops.reductions import (
+        cdf_band_quantiles, norm_icdf64,
+    )
+
+    assert abs(norm_icdf64(0.975) - 1.959963985) < 1e-7
+    assert abs(norm_icdf64(0.5)) < 1e-12
+    assert abs(norm_icdf64(1e-5) + 4.264890794) < 1e-6
+
+    rng = np.random.default_rng(0)
+    k = 32
+    g = 1.005 + 0.02 * rng.standard_normal((500_000, 12))
+    vals = 1000.0 * np.prod(g, axis=1)
+    mu, sd = np.mean(np.log(g)), np.std(np.log(g))
+    center = np.log(1000.0) + 12 * mu
+    scale = sd * np.sqrt(12)
+    dz = 12.0 / (k - 3)
+    z0 = -6.0 - dz
+    kk = np.arange(k, dtype=np.float64)
+    kk[0], kk[-1] = (-14.0 - z0) / dz, (14.0 - z0) / dz
+    logthr = center + (z0 + kk * dz) * scale
+    counts = (np.log(vals)[None, :] < logthr[:, None]).sum(axis=1)
+    qs = (0.01, 0.05, 0.25, 0.5, 0.75, 0.95, 0.99)
+    lq = cdf_band_quantiles(counts, logthr, qs, len(vals))
+    exact = np.quantile(np.log(vals), qs)
+    # probit-interp systematic error is ~1e-3 z at K=32; the rest of the
+    # budget is the 500k-sample MC noise of F_k vs the exact quantiles
+    # (independent estimators of the same point). A placement or
+    # inversion bug fails by orders of magnitude.
+    assert np.max(np.abs(lq - exact) / scale) < 1e-2
+
+
+def test_cdf_inversion_depleted_and_clamp():
+    from stock_market_monte_carlo_tpu.ops.reductions import (
+        cdf_band_quantiles,
+    )
+
+    n = 1000
+    # 10% of mass below the underflow guard (depleted), rest mid-grid
+    counts = np.array([100, 100, 100, 500, 1000, 1000], np.float64)
+    logthr = np.linspace(0.0, 5.0, 6)
+    lq = cdf_band_quantiles(counts, logthr, (0.05, 0.5, 0.9999), n)
+    assert lq[0] == -np.inf                  # inside the depleted mass
+    assert logthr[2] < lq[1] < logthr[4]     # interpolated mid-grid
+    # q=0.9999's rank sits inside the last resolved segment (its top F
+    # is exactly 1.0): the w-clip pins it to that segment's upper edge
+    assert lq[2] == logthr[4]
+    # mass genuinely past the top threshold (top count < q*n): clamp to
+    # the last threshold
+    counts2 = np.array([0, 10, 300, 500, 800, 900], np.float64)
+    lq2 = cdf_band_quantiles(counts2, logthr, (0.99,), n)
+    assert lq2[0] == logthr[-1]
+
+
+def test_cdf_bands_composition_and_month0():
+    """CDF mode through the TPU-semantics interpreter: counts monotone in
+    k, bounded by n, month 0 an exact v0 indicator row, values[:, 0] the
+    initial capital, historical model + percent withdrawal, ragged."""
+    from stock_market_monte_carlo_tpu.models.strategies import (
+        FixedPercentWithdrawal,
+    )
+
+    h = smmc.HistoricalBootstrap.from_csv()
+    n, t = KEY_TILE + 100, 5
+    b = smmc.simulate_bands(
+        h, n, t, seed=2, strategy=FixedPercentWithdrawal(1.0),
+        options=EngineOptions(backend="pallas", chunk_paths=KEY_TILE),
+        band_mode="cdf", sample_paths=0,
+    )
+    assert b.mode == "cdf"
+    assert b.month_hist.shape == (t + 1, 32)
+    assert b.log_thresholds.shape == (t + 1, 32)
+    assert (np.diff(b.month_hist, axis=1) >= 0).all()
+    assert (b.month_hist <= n).all()
+    # month 0: exact indicator row of v0 against the month-0 thresholds
+    expect0 = n * (np.log(1000.0) < b.log_thresholds[0])
+    np.testing.assert_array_equal(b.month_hist[0], expect0)
+    np.testing.assert_allclose(b.values[:, 0], 1000.0)
+    assert np.isfinite(b.values).all()
+
+
+def test_cdf_bands_chunk_invariance_and_sharded(mesh8):
+    """Tile-keyed streams: CDF counts identical across chunk splits and
+    across the 8-device mesh (psum over ICI) — same contract as hist."""
+    n, t = 2 * KEY_TILE + 777, 4
+    kw = dict(seed=5, band_mode="cdf", sample_paths=0)
+    a = smmc.simulate_bands(
+        GAUSS, n, t,
+        options=EngineOptions(backend="pallas", chunk_paths=KEY_TILE),
+        **kw)
+    b = smmc.simulate_bands(
+        GAUSS, n, t,
+        options=EngineOptions(backend="pallas", chunk_paths=2 * KEY_TILE),
+        **kw)
+    np.testing.assert_array_equal(a.month_hist, b.month_hist)
+    c = smmc.simulate_bands(
+        GAUSS, n, t,
+        options=EngineOptions(backend="pallas", chunk_paths=KEY_TILE),
+        mesh=mesh8, **kw)
+    np.testing.assert_array_equal(a.month_hist, c.month_hist)
+    np.testing.assert_allclose(a.values, c.values, rtol=1e-12)
+
+
+def test_cdf_bands_rejects_unsupported():
+    import pytest
+
+    h = smmc.HistoricalBootstrap.from_csv()
+    with pytest.raises(ValueError, match="Pallas"):
+        smmc.simulate_bands(h, KEY_TILE, 4, band_mode="cdf")  # xla backend
+    with pytest.raises(ValueError, match="multiple of 8"):
+        smmc.simulate_bands(
+            h, KEY_TILE, 4, band_mode="cdf", n_thresholds=20,
+            options=EngineOptions(backend="pallas"))
+    with pytest.raises(ValueError, match="multiplicative"):
+        smmc.simulate_bands(
+            h, KEY_TILE, 4, band_mode="cdf",
+            strategy=FixedAmountWithdrawal(amount=1.0),
+            options=EngineOptions(backend="pallas"))
+    with pytest.raises(ValueError, match="band_mode"):
+        smmc.simulate_bands(h, KEY_TILE, 4, band_mode="nope")
+
+
+def test_cdf_bands_edge_shapes():
+    """n_paths=1, n_periods=1, and a prime-ish ragged count through the
+    CDF kernel (full-tile padding + masking)."""
+    opts = EngineOptions(backend="pallas")
+    for n, t in ((1, 1), (8193, 1), (1, 7)):
+        b = smmc.simulate_bands(GAUSS, n, t, band_mode="cdf",
+                                sample_paths=0, options=opts)
+        assert b.values.shape == (5, t + 1)
+        assert b.month_hist.shape == (t + 1, 32)
+        assert (b.month_hist <= n).all()
+        assert (np.diff(b.month_hist, axis=1) >= 0).all()
+        np.testing.assert_allclose(b.values[:, 0], 1000.0)

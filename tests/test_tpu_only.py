@@ -369,3 +369,42 @@ def test_pallas_bands_statistical_parity_vs_xla(historical_table):
                                    rtol=1e-2)
         # months after the first: medians track the model's drift
         assert np.all(np.diff(a.values[2]) > -a.values[2][:-1] * 0.05)
+
+
+def test_cdf_bands_parity_vs_hist(historical_table):
+    """CDF band mode (band_mode='cdf') vs the hist mode on hardware.
+
+    Both kernels draw the SAME tile-keyed streams, so with the same seed
+    they reduce the IDENTICAL sample — the band values differ only by
+    reduction resolution (hist: linear interp on a 1024-bin z-grid,
+    ~0.023 z quantization; cdf: probit interp between 32 thresholds,
+    ~1e-3 z for near-lognormal months). 1% relative covers both with
+    margin; a threshold-placement or counting bug fails by orders of
+    magnitude."""
+    import jax.numpy as jnp
+
+    import stock_market_monte_carlo_tpu as smmc
+    from stock_market_monte_carlo_tpu.models.strategies import (
+        FixedPercentWithdrawal,
+    )
+
+    n, t = 2**21, 60
+    cases = [
+        (smmc.GaussianReturns(), smmc.NoWithdrawal()),
+        (smmc.HistoricalBootstrap(jnp.asarray(historical_table)),
+         FixedPercentWithdrawal(0.5)),
+    ]
+    for model, strat in cases:
+        a = smmc.simulate_bands(model, n, t, seed=7, strategy=strat,
+                                sample_paths=0, band_mode="cdf",
+                                options=_opts(backend="pallas"))
+        b = smmc.simulate_bands(model, n, t, seed=7, strategy=strat,
+                                sample_paths=0,
+                                options=_opts(backend="pallas"))
+        assert a.mode == "cdf"
+        # counts-below: monotone, bounded, every month's top guard sees
+        # (essentially) every path
+        assert (np.diff(a.month_hist, axis=1) >= 0).all()
+        assert a.month_hist[:, -1].min() >= n - 5
+        np.testing.assert_allclose(a.values[:, 1:], b.values[:, 1:],
+                                   rtol=1e-2)
