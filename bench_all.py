@@ -125,6 +125,23 @@ def main():
               {"median_final": round(float(c.band(0.5)[-1]), 1),
                "host_transfer_bytes": int(c.month_hist.nbytes)})
 
+    # 8. terminal-law sampler (EngineOptions(terminal_law=True)): V_T
+    # drawn in ONE step from its exact T-fold-convolution law — the
+    # framework's algorithmic upgrade over every month-loop kernel
+    # (ops/terminal_law.py). Not like-for-like with the reference's
+    # month-loop benchmarks; reported as its own config.
+    n8 = n5
+    law = EngineOptions(terminal_law=True)
+    for name, model in (("gaussian", gauss), ("historical", hist)):
+        smmc.simulate_stats(model, law.chunk_paths, t_mo, seed=1,
+                            options=law)  # warm + fit
+        t0 = time.perf_counter()
+        res = smmc.simulate_stats(model, n8, t_mo, seed=8, options=law)
+        _line(f"terminal_law_{name}", n8, t_mo,
+              time.perf_counter() - t0,
+              {"mean": round(res.mean, 2), "std": round(res.std, 2),
+               "hist_mass": float(res.histogram_counts.sum())})
+
 
 if __name__ == "__main__":
     main()

@@ -32,14 +32,16 @@ def _print_stats_block(res, target):
 
 
 def _run_benchmark(n_months, n_sims, target=1000.0, mesh=None,
-                   backend="auto", keep_trajectories=0, histogram=True):
+                   backend="auto", keep_trajectories=0, histogram=True,
+                   terminal_law=False):
     import stock_market_monte_carlo_tpu as smmc
 
     model = _model_historical()
     res = smmc.run(
         model, n_sims, n_months, initial_capital=1000.0, seed=0,
         target_amount=target,
-        options=EngineOptions(backend=backend, histogram=histogram),
+        options=EngineOptions(backend=backend, histogram=histogram,
+                              terminal_law=terminal_law),
         mesh=mesh, keep_trajectories=keep_trajectories,
     )
     _print_stats_block(res, target)
@@ -83,7 +85,9 @@ def benchmark_mc_reduceblock(args):
     # only ever leave the device (README.md:75 "compute means on GPU to
     # further reduce data transfer")
     res = _run_benchmark(args.n_months, args.n_simulations,
-                         mesh=_mesh(args.n_devices), histogram=False)
+                         mesh=_mesh(args.n_devices), histogram=False,
+                         terminal_law=getattr(args, "terminal_law",
+                                              False))
     est = float(np.asarray(count_below_clt(
         1000.0, res.mean, res.std, res.n_paths
     )))

@@ -56,6 +56,11 @@ def main(argv=None):
     p.add_argument("n_devices", type=int)
     p.add_argument("n_months", type=int)
     p.add_argument("n_simulations", type=int)
+    p.add_argument("--terminal-law", action="store_true",
+                   help="draw V_T in one step from its exact T-fold "
+                        "convolution law instead of looping months "
+                        "(ops/terminal_law.py; ~100x less device work "
+                        "at 360 months, same distribution)")
     p.set_defaults(fn=c.benchmark_mc_reduceblock)
 
     p = sub.add_parser(

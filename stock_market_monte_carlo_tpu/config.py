@@ -80,6 +80,22 @@ class EngineOptions:
     #    withdrawn totals, but measured SLOWER than the icdf fallback
     #    (1.007 s vs 0.563 s at 100M x 360); explicit opt-in.
     gaussian_sampler: str = "icdf"
+    # Terminal-law sampling (ops/terminal_law.py): draw V_T in ONE step
+    # from its exact T-fold-convolution law (FFT oracle -> Chebyshev fit
+    # of the probit quantile function, evaluated on device by a Clenshaw
+    # recurrence) instead of looping T months — ~two orders of magnitude
+    # less device work at T=360, sampling the identical distribution to
+    # the fit tolerance (measured ~1e-7 log error at T>=12; the fit
+    # validates itself and raises when a law is too rough, e.g. a 1-month
+    # bootstrap step function). Applies to simulate_stats /
+    # simulate_final_values with counter-rng gaussian/historical models
+    # and multiplicative strategies (keep > 0; strategy runs need
+    # track_withdrawn=False — per-path withdrawn totals are
+    # path-dependent and cannot be sampled from the terminal law).
+    # Streams are NOT samplewise-comparable to the month-loop engines.
+    # The reference has no analog; bench.py keeps the month-loop kernel
+    # as the like-for-like headline and reports this as an extra.
+    terminal_law: bool = False
     # (A "hist-clt" cumulant-matched approximate bootstrap sampler was
     # built and measured at 1e9 paths in round 3, then REMOVED: the
     # sliced-rotation exact kernel is both faster — its gather is cheap —

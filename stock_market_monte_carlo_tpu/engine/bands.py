@@ -287,6 +287,11 @@ def simulate_bands(
     if band_mode not in ("hist", "cdf"):
         raise ValueError(f"band_mode must be 'hist' or 'cdf', got "
                          f"{band_mode!r}")
+    if getattr(options, "terminal_law", False):
+        raise ValueError(
+            "terminal_law samples only the FINAL value's law; bands are "
+            "month-resolved — use the default month-loop engine"
+        )
     use_cdf = band_mode == "cdf"
     if use_cdf:
         if linear:

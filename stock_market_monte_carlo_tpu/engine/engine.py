@@ -250,9 +250,41 @@ def compound_paths(growth, v0, strategy):
     return jnp.concatenate([init[None, :], traj], axis=0).T
 
 
+def _law_finals_xla(law_op, root_key, path_offset, b):
+    """(b,) terminal-law finals: one tile-keyed normal draw per path,
+    mapped through the fitted quantile function V = scale *
+    exp(Chebyshev(z / Z_MAX)) (ops/terminal_law.py). Tile keying makes
+    the draw — like sample_growth's — depend only on (seed, global
+    path position), so results are chunk- and sharding-invariant."""
+    from stock_market_monte_carlo_tpu.ops.terminal_law import (
+        LAW_CLAMP, LAW_D, LAW_ZMAX,
+    )
+
+    kt = KEY_TILE
+    assert b % kt == 0, (b, kt)
+    first_tile = jnp.asarray(path_offset, jnp.uint32) // jnp.uint32(kt)
+    keys = rng_ops.path_tile_keys(
+        jax.random.fold_in(root_key, 0x1A37), first_tile, b // kt
+    )
+    z = jax.vmap(
+        lambda k: jax.random.normal(k, (kt,), jnp.float32)
+    )(keys).reshape(b)
+    s = jnp.clip(z, -LAW_CLAMP, LAW_CLAMP) * jnp.float32(1.0 / LAW_ZMAX)
+    law_op = jnp.asarray(law_op, jnp.float32)
+    two_s = 2.0 * s
+    b1 = jnp.zeros_like(s)
+    b2 = jnp.zeros_like(s)
+    for k in range(LAW_D - 1, 0, -1):
+        b0 = two_s * b1 - b2 + law_op[1 + k]
+        b2 = b1
+        b1 = b0
+    return law_op[0] * jnp.exp(s * b1 - b2 + law_op[1])
+
+
 def chunk_stats(model, strategy, root_key, scramble_key, v0, path_offset,
                 valid, target, shift=jnp.float32(0.0), *, n_periods,
-                chunk_shape_b, spec, keep_finals, with_hist=True):
+                chunk_shape_b, spec, keep_finals, with_hist=True,
+                sampler="icdf"):
     """Simulate one chunk and reduce to (packed_stats, histogram[, finals]).
 
     ``valid`` masks padding paths in the final (ragged) chunk — the moral
@@ -263,12 +295,23 @@ def chunk_stats(model, strategy, root_key, scramble_key, v0, path_offset,
     ``shift`` centers the power-sum rows (moments of V/v0 - shift, see
     analytic_moment_shift); min/max/count-below stay uncentered and the
     host reconstruction restores raw sums in float64.
+
+    ``sampler='law'`` draws finals in one step from the fitted terminal
+    law; ``scramble_key`` then carries the (LAW_OP_LEN,) float32 law
+    operand (the slot is otherwise unused by non-quasi models, which are
+    the only ones terminal_law supports).
     """
-    growth = sample_growth(
-        model, root_key, scramble_key, path_offset,
-        (chunk_shape_b, n_periods),
-    )
-    finals, withdrawn = compound_final(growth, v0, strategy)
+    if sampler == "law":
+        finals = _law_finals_xla(
+            scramble_key, root_key, path_offset, chunk_shape_b
+        )
+        withdrawn = jnp.zeros((chunk_shape_b,), jnp.float32)
+    else:
+        growth = sample_growth(
+            model, root_key, scramble_key, path_offset,
+            (chunk_shape_b, n_periods),
+        )
+        finals, withdrawn = compound_final(growth, v0, strategy)
     lane = jnp.arange(chunk_shape_b, dtype=jnp.int32)
     mask = lane < valid
 
@@ -364,6 +407,7 @@ def _get_chunk_fn(model_kind, strategy_kind, n_periods, chunk_b, spec,
             spec=spec,
             keep_finals=keep_finals,
             with_hist=with_hist,
+            sampler=sampler,
         )
 
     if mesh is None:
@@ -437,6 +481,10 @@ def _effective_sampler(model, strategy, backend: str,
     fall back to the exact ICDF kernel, whose growth may go negative
     without ever passing through a log.
     """
+    if getattr(options, "terminal_law", False):
+        # terminal-law sampling (ops/terminal_law.py): validated and
+        # armed by simulate_stats; both backends have a law path
+        return "law"
     if (backend != "pallas" or model.kind != "gaussian"):
         return "icdf"
     if options.gaussian_sampler in ("clt", "clt-prefix"):
@@ -458,6 +506,34 @@ def _effective_sampler(model, strategy, backend: str,
             and strategy.kind in ("fixed_percent", "variable_percent")):
         return "clt-prefix"   # distinct stream: 2048-path tiles
     return "icdf"
+
+
+def _validate_terminal_law(model, strategy, options) -> None:
+    """Structural preconditions of EngineOptions(terminal_law=True);
+    the fit itself additionally validates smoothness and keep > 0
+    (ops/terminal_law.fit_terminal_law)."""
+    if (getattr(model, "is_quasi", False)
+            or model.kind not in ("gaussian", "historical")
+            or getattr(model, "rng", "counter") != "counter"):
+        raise ValueError(
+            "terminal_law=True needs the iid-month structure of a "
+            "counter-rng gaussian or historical model (Sobol sequences "
+            f"and reference-parity rng excluded); got {model.kind!r} "
+            f"rng={getattr(model, 'rng', 'counter')!r}"
+        )
+    if not _is_multiplicative(strategy):
+        raise ValueError(
+            "terminal_law=True needs a multiplicative strategy (the "
+            "fixed-amount withdrawal makes V_T path-dependent beyond "
+            "the terminal law); use the month-loop engine"
+        )
+    if strategy.kind != "none" and options.track_withdrawn:
+        raise ValueError(
+            "terminal_law cannot track per-path withdrawn totals "
+            "(they are path-dependent; only V_T's law is sampled) — "
+            "set EngineOptions(track_withdrawn=False) to run the "
+            "strategy's finals at terminal-law speed"
+        )
 
 
 def _validate_run(model, n_paths: int, per_dispatch: int,
@@ -632,6 +708,16 @@ def simulate_stats(
 
     root_key = jax.random.key(seed)
     scramble_key = jax.random.fold_in(root_key, 0x50B0)
+    if options.terminal_law:
+        from stock_market_monte_carlo_tpu.ops import terminal_law as tlaw
+
+        _validate_terminal_law(model, strategy, options)
+        law_fit = tlaw.fit_terminal_law(
+            model, strategy, n_periods, v0f
+        )
+        # the law operand rides the (otherwise unused) scramble_key slot
+        # so the whole dispatch/mesh/cache machinery is shared verbatim
+        scramble_key = jnp.asarray(law_fit.operand())
     target = jnp.float32(
         np.inf if target_amount is None else target_amount
     )

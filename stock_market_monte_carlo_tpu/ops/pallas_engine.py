@@ -976,6 +976,205 @@ def _seed_base_i32(root_key):
     )
 
 
+# ---------------------------------------------------------------------------
+# Terminal-law kernel (ops/terminal_law.py): one draw per PATH.
+#
+# V = scale * exp(Chebyshev(z / Z_MAX)) with z from the same
+# 23-bit-uniform -> polynomial-erfinv pipeline as the exact ICDF kernel.
+# The kernel is model- and horizon-independent — the law arrives as a
+# runtime SMEM coefficient operand, so ONE Mosaic compile serves every
+# market, horizon, v0 and keep schedule (a per-config compile would cost
+# minutes through the remote compile service for a kernel whose entire
+# math is ~150 VPU ops/path).
+# ---------------------------------------------------------------------------
+
+_LAW_STREAM_XOR = 0x1A37  # disjoint stream family from the month kernels
+
+
+def _build_law_kernel(with_hist: bool):
+    """Ref layout:
+      iscal (SMEM i32 (8,)): seed_base, tile0, valid, hb, 0, 0, 0, 0
+      fscal (SMEM f32 (8,)): v0, target, hist_log_lo, hist_inv_width,
+                             moment_shift, inv_zmax, 0, 0
+      law (SMEM f32 (LAW_OP_LEN, 1)): [scale, c_0 .. c_{LAW_D-1}]
+      finals (TILE_ROWS,128) / partials (N_PARTIAL_ROWS,128)
+      [hist (64,64)] outs — same contracts as _build_kernel.
+    """
+    from stock_market_monte_carlo_tpu.ops.terminal_law import LAW_D
+
+    def kernel(*refs):
+        it = iter(refs)
+        iscal = next(it)
+        fscal = next(it)
+        law_ref = next(it)
+        finals_ref = next(it)
+        partials_ref = next(it)
+        hist_ref = next(it) if with_hist else None
+
+        pid = pl.program_id(0)
+        tile = iscal[1] + pid
+        pltpu.prng_seed(_tile_seed_i32(iscal[0], tile))
+        rr = jax.lax.broadcasted_iota(jnp.int32, (TILE_ROWS, 128), 0)
+        ll = jax.lax.broadcasted_iota(jnp.int32, (TILE_ROWS, 128), 1)
+        local_id = pid * TILE_PATHS + rr * 128 + ll
+
+        u = _u23_from_bits(pltpu.prng_random_bits((TILE_ROWS, 128)))
+        z = jnp.float32(_SQRT2) * _erfinv_poly(2.0 * u - 1.0)
+        # u23 keeps |z| <= ~5.54 < LAW_CLAMP by construction; no clamp
+        s = z * fscal[5]
+        two_s = 2.0 * s
+        b1 = jnp.zeros((TILE_ROWS, 128), jnp.float32)
+        b2 = jnp.zeros((TILE_ROWS, 128), jnp.float32)
+        for k in range(LAW_D - 1, 0, -1):
+            b0 = two_s * b1 - b2 + law_ref[1 + k, 0]
+            b2 = b1
+            b1 = b0
+        total = law_ref[0, 0] * jnp.exp(s * b1 - b2 + law_ref[1, 0])
+        finals_ref[:] = total
+
+        # stats epilogue — same contract as _build_kernel's (which stays
+        # byte-identical to preserve its Mosaic cache); withdrawn row 0
+        mask = local_id < iscal[2]
+        inv0 = 1.0 / fscal[0]
+        tot_s = total * inv0
+        f = jnp.where(mask, tot_s - fscal[4], 0.0)
+        f2 = f * f
+
+        def rowsum(x):
+            return jnp.sum(x, axis=0, keepdims=True)
+
+        partials_ref[:] = jnp.concatenate([
+            rowsum(f),
+            rowsum(f2),
+            rowsum(f2 * f),
+            rowsum(f2 * f2),
+            jnp.min(jnp.where(mask, tot_s, jnp.inf), axis=0,
+                    keepdims=True),
+            jnp.max(jnp.where(mask, tot_s, -jnp.inf), axis=0,
+                    keepdims=True),
+            rowsum(jnp.where(mask & (total < fscal[1]), 1.0, 0.0)),
+            jnp.zeros((1, 128), jnp.float32),
+        ], axis=0)
+
+        if not with_hist:
+            return
+        # in-kernel MXU histogram — same lane-concat one-hot scheme and
+        # rationale as _build_kernel (see the comment there)
+        hb = iscal[3]
+        bins = _kernel_bin_indices(total, mask, fscal[2], fscal[3], hb)
+        hi_b = bins >> 6
+        lo_b = bins & 63
+        rio = jax.lax.broadcasted_iota(jnp.int32, (64, 128), 0)
+        oh_hi_t = jnp.concatenate(
+            [(hi_b[r:r + 1, :] == rio).astype(jnp.bfloat16)
+             for r in range(TILE_ROWS)], axis=1,
+        )
+        oh_lo_t = jnp.concatenate(
+            [(lo_b[r:r + 1, :] == rio).astype(jnp.bfloat16)
+             for r in range(TILE_ROWS)], axis=1,
+        )
+        hist_ref[:] = jax.lax.dot_general(
+            oh_hi_t, oh_lo_t, (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+
+    return kernel
+
+
+@lru_cache(maxsize=8)
+def _build_law_call(ntiles: int, interpret, with_hist: bool):
+    kernel = _build_law_kernel(with_hist)
+    in_specs = [
+        pl.BlockSpec(memory_space=pltpu.SMEM),  # iscal
+        pl.BlockSpec(memory_space=pltpu.SMEM),  # fscal
+        pl.BlockSpec(memory_space=pltpu.SMEM),  # law operand
+    ]
+    out_specs = [
+        pl.BlockSpec((TILE_ROWS, 128), lambda i: (i, 0),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((N_PARTIAL_ROWS, 128), lambda i: (i, 0),
+                     memory_space=pltpu.VMEM),
+    ]
+    out_shape = [
+        jax.ShapeDtypeStruct((ntiles * TILE_ROWS, 128), jnp.float32),
+        jax.ShapeDtypeStruct((ntiles * N_PARTIAL_ROWS, 128), jnp.float32),
+    ]
+    if with_hist:
+        out_specs.append(pl.BlockSpec((64, 64), lambda i: (i, 0),
+                                      memory_space=pltpu.VMEM))
+        out_shape.append(jax.ShapeDtypeStruct((ntiles * 64, 64),
+                                              jnp.float32))
+    return pl.pallas_call(
+        kernel,
+        grid=(ntiles,),
+        in_specs=in_specs,
+        out_specs=tuple(out_specs),
+        out_shape=tuple(out_shape),
+        interpret=interpret,
+    )
+
+
+def _law_chunk_stats(law_op, root_key, v0, path_offset, valid, target,
+                     shift, *, chunk_shape_b, spec, keep_finals,
+                     with_hist):
+    """Terminal-law chunk: same output contract as pallas_chunk_stats."""
+    from stock_market_monte_carlo_tpu.ops.terminal_law import LAW_ZMAX
+
+    assert chunk_shape_b % TILE_PATHS == 0, (chunk_shape_b, TILE_PATHS)
+    ntiles = chunk_shape_b // TILE_PATHS
+    interpret = interpret_mode("gaussian")
+    hb = spec.n_bins + 2
+    mxu_hist = with_hist and hb % 64 == 0 and hb <= 4096
+
+    tile0 = jax.lax.bitcast_convert_type(
+        jnp.asarray(path_offset, jnp.uint32) // jnp.uint32(TILE_PATHS),
+        jnp.int32,
+    )
+    iscal = jnp.stack([
+        _seed_base_i32(root_key) ^ jnp.int32(_LAW_STREAM_XOR),
+        tile0, jnp.asarray(valid, jnp.int32), jnp.int32(hb),
+        jnp.int32(0), jnp.int32(0), jnp.int32(0), jnp.int32(0),
+    ])
+    fscal = jnp.stack([
+        jnp.asarray(v0, jnp.float32),
+        jnp.asarray(target, jnp.float32),
+        jnp.float32(spec.log_lo), jnp.float32(1.0 / spec.width),
+        jnp.asarray(shift, jnp.float32),
+        jnp.float32(1.0 / LAW_ZMAX),
+        jnp.float32(0), jnp.float32(0),
+    ])
+    law2d = jnp.asarray(law_op, jnp.float32).reshape(-1, 1)
+
+    call = _build_law_call(ntiles, interpret, mxu_hist)
+    outs = call(iscal, fscal, law2d)
+    finals2d, partials = outs[0], outs[1]
+
+    p = partials.reshape(ntiles, N_PARTIAL_ROWS, 128)
+    stats = jnp.concatenate([
+        jnp.asarray(valid, jnp.float32)[None],
+        jnp.sum(p[:, 0:4], axis=(0, 2)),
+        jnp.min(p[:, 4])[None],
+        jnp.max(p[:, 5])[None],
+        jnp.sum(p[:, 6])[None],
+        jnp.sum(p[:, 7])[None],
+    ])
+    if mxu_hist:
+        hist = jnp.sum(
+            outs[2].reshape(ntiles, 64, 64), axis=0
+        ).reshape(-1)[:hb]
+    elif with_hist:
+        finals = finals2d.reshape(-1)
+        lane = jnp.arange(chunk_shape_b, dtype=jnp.int32)
+        idx = spec.bin_index(finals)
+        idx = jnp.where(lane < valid, idx, hb)
+        hist = hist_ops.histogram_counts(idx, hb)
+    else:
+        hist = jnp.zeros((hb,), jnp.float32)
+    if keep_finals:
+        return stats, hist, finals2d.reshape(-1)
+    return stats, hist
+
+
 def _clt_chunk_stats(model, strategy, root_key, v0, path_offset, valid,
                      target, shift=jnp.float32(0.0), *, n_periods,
                      chunk_shape_b, spec, keep_finals,
@@ -1055,6 +1254,14 @@ def pallas_chunk_stats(model, strategy, root_key, scramble_key, v0,
                        *, n_periods, chunk_shape_b, spec, keep_finals,
                        sampler="icdf", with_hist=True):
     """Drop-in replacement for engine.chunk_stats on TPU (same contract)."""
+    if sampler == "law":
+        # terminal-law sampling: scramble_key carries the (LAW_OP_LEN,)
+        # law operand (see engine.chunk_stats / ops/terminal_law.py)
+        return _law_chunk_stats(
+            scramble_key, root_key, v0, path_offset, valid, target,
+            shift, chunk_shape_b=chunk_shape_b, spec=spec,
+            keep_finals=keep_finals, with_hist=with_hist,
+        )
     # the engine passes the EFFECTIVE sampler (engine._effective_sampler):
     # "clt" = plain CLT tiles; "clt-prefix" = the lane-prefix strategy
     # kernel on 2048-path tiles (explicit opt-in — measured slower than

@@ -308,6 +308,90 @@ def sobol_bits_u32(direction, first_index, n: int, dims: int,
     return bits
 
 
+@lru_cache(maxsize=32)
+def direction_numbers_split(dims: int):
+    """((dims, 64) hi, (dims, 64) lo) uint32 word pairs of the 64-bit
+    direction numbers — the device tables for full-precision f64 points
+    (XOR has no carries, so the 64-bit fold decomposes exactly into two
+    independent 32-bit folds)."""
+    v = direction_numbers_u64(dims)
+    hi = (v >> np.uint64(32)).astype(np.uint32)
+    lo = (v & np.uint64(0xFFFFFFFF)).astype(np.uint32)
+    return hi, lo
+
+
+def _gray64(idx_lo, idx_hi):
+    lo = jnp.asarray(idx_lo, jnp.uint32)
+    hi = jnp.asarray(idx_hi, jnp.uint32)
+    glo = lo ^ ((lo >> jnp.uint32(1)) | (hi << jnp.uint32(31)))
+    ghi = hi ^ (hi >> jnp.uint32(1))
+    return glo, ghi
+
+
+def sobol_bits64_pair(dir_hi, dir_lo, idx_lo, idx_hi):
+    """((..., dims) hi, (..., dims) lo) uint32 words of the FULL 0.64
+    fixed-point Sobol integers at 64-bit sequence positions — the
+    on-device form behind sobol_points_f64. Same branch-free gray-code
+    fold as sobol_bits64, accumulated in two carry-free words."""
+    dir_hi = jnp.asarray(dir_hi, jnp.uint32)
+    dir_lo = jnp.asarray(dir_lo, jnp.uint32)
+    glo, ghi = _gray64(idx_lo, idx_hi)
+    shape = glo.shape + (dir_hi.shape[0],)
+    acc_h = jnp.zeros(shape, jnp.uint32)
+    acc_l = jnp.zeros(shape, jnp.uint32)
+    for b in range(32):
+        bit = ((glo >> jnp.uint32(b)) & jnp.uint32(1)).astype(jnp.bool_)
+        take = bit[..., None]
+        acc_h = jnp.where(take, acc_h ^ dir_hi[:, b], acc_h)
+        acc_l = jnp.where(take, acc_l ^ dir_lo[:, b], acc_l)
+    for b in range(32):
+        bit = ((ghi >> jnp.uint32(b)) & jnp.uint32(1)).astype(jnp.bool_)
+        take = bit[..., None]
+        acc_h = jnp.where(take, acc_h ^ dir_hi[:, 32 + b], acc_h)
+        acc_l = jnp.where(take, acc_l ^ dir_lo[:, 32 + b], acc_l)
+    return acc_h, acc_l
+
+
+def sobol_points_f64(dims: int, first_index, n: int,
+                     scramble_key=None, index_offset: int = 0):
+    """(n, dims) float64 Sobol points at full 64-bit precision, computed
+    ON DEVICE — the device-side analog of the reference's i8_sobol f64
+    output (include/sobol/sobol.cpp:14191; its generator is serial and
+    host-only). The integer fold is pure uint32 (TPU-native); only the
+    final combine needs float64, so jax_enable_x64 must be on (use
+    ``with jax.enable_x64(True):`` or run the fold via
+    sobol_bits64_pair and combine on the host). Bit-identical to
+    sobol_points_f64_host: (hi * 2^32 + lo) rounds the exact 64-bit
+    integer to the nearest f64 exactly as the host's u64 conversion does.
+    """
+    from jax import dtypes
+
+    if dtypes.canonicalize_dtype(jnp.float64) != jnp.float64:
+        raise ValueError(
+            "sobol_points_f64 needs float64: enable it with "
+            "`with jax.enable_x64(True): ...` (the integer "
+            "fold itself is uint32; see sobol_bits64_pair for a "
+            "combine-on-host alternative)"
+        )
+    dir_hi, dir_lo = direction_numbers_split(dims)
+    lo, hi = _split_index64(index_offset, first_index, n)
+    acc_h, acc_l = sobol_bits64_pair(dir_hi, dir_lo, lo, hi)
+    if scramble_key is not None:
+        # 64-bit digital shift: an independent word per half, both gated
+        # on the ORIGINAL key's zero-ness (zero key == raw sequence)
+        is_zero = jnp.all(jax.random.key_data(scramble_key) == 0)
+        sh = jax.random.bits(scramble_key, (dims,), jnp.uint32)
+        sl = jax.random.bits(
+            jax.random.fold_in(scramble_key, 0x64), (dims,), jnp.uint32
+        )
+        acc_h = acc_h ^ jnp.where(is_zero, jnp.uint32(0), sh)[None, :]
+        acc_l = acc_l ^ jnp.where(is_zero, jnp.uint32(0), sl)[None, :]
+    return (
+        acc_h.astype(jnp.float64) * jnp.float64(2.0**32)
+        + acc_l.astype(jnp.float64)
+    ) * jnp.float64(2.0**-64)
+
+
 def sobol_points_f64_host(dims: int, offset: int, n: int) -> np.ndarray:
     """(n, dims) float64 points at full 64-bit precision (host/numpy) —
     the analytic-depth parity surface for the reference's i8_sobol f64

@@ -408,3 +408,49 @@ def test_cdf_bands_parity_vs_hist(historical_table):
         assert a.month_hist[:, -1].min() >= n - 5
         np.testing.assert_allclose(a.values[:, 1:], b.values[:, 1:],
                                    rtol=1e-2)
+
+
+def test_terminal_law_hardware_parity():
+    """Terminal-law Pallas kernel on real hardware: one erfinv draw per
+    path through the fitted quantile function must reproduce the FFT
+    oracle's moments/quantiles within MC bars — the same bars the exact
+    month-loop engine meets (the two engines sample the same law)."""
+    import stock_market_monte_carlo_tpu as smmc
+    from stock_market_monte_carlo_tpu.ops import analytic
+
+    n, t = 2**22, 360
+    g = smmc.GaussianReturns()
+    res = smmc.simulate_stats(g, n, t, seed=11,
+                              options=_opts(terminal_law=True))
+    mean_cf, std_cf = analytic.final_value_moments(
+        float(g.mean_pct), float(g.std_pct), t, 1000.0)
+    assert abs(res.mean - mean_cf) < 5 * std_cf / np.sqrt(n)
+    assert abs(res.std - std_cf) / std_cf < 5e-3
+    qs = (0.01, 0.05, 0.5, 0.95, 0.99)
+    oq = analytic.final_value_quantiles(
+        float(g.mean_pct), float(g.std_pct), t, 1000.0, qs)
+    sq = res.quantiles(qs)
+    for q, want in zip(qs, oq):
+        assert abs(sq[q] / want - 1.0) < 3e-3, (q, sq[q], want)
+
+    # historical: vs the exact bootstrap FFT law
+    h = smmc.HistoricalBootstrap.from_csv()
+    rh = smmc.simulate_stats(h, n, t, seed=11,
+                             options=_opts(terminal_law=True))
+    values, cdf = analytic.bootstrap_final_value_distribution(
+        np.asarray(h.returns_pct, np.float64), t, 1000.0)
+    pmf = np.diff(np.concatenate([[0.0], cdf]))
+    mean_o = float(np.sum(pmf * values))
+    std_o = float(np.sqrt(np.sum(pmf * values**2) - mean_o**2))
+    assert abs(rh.mean - mean_o) < 5 * std_o / np.sqrt(n)
+    oqh = analytic.quantiles_from_cdf(values, cdf, qs)
+    sqh = rh.quantiles(qs)
+    for q, want in zip(qs, oqh):
+        assert abs(sqh[q] / want - 1.0) < 3e-3, (q, sqh[q], want)
+
+    # determinism on hardware PRNG
+    res2 = smmc.simulate_stats(g, n, t, seed=11,
+                               options=_opts(terminal_law=True))
+    assert res2.mean == res.mean
+    np.testing.assert_array_equal(res2.histogram_counts,
+                                  res.histogram_counts)
