@@ -65,9 +65,11 @@ def main():
     n_paths = int(sys.argv[1]) if len(sys.argv) > 1 else 100_000_000
     n_periods = int(sys.argv[2]) if len(sys.argv) > 2 else 360
 
-    def timed(model, sampler="icdf", reps=3, histogram=True):
+    def timed(model, sampler="icdf", reps=3, histogram=True,
+              terminal_law=False):
         opts = EngineOptions(chunk_paths=2**24, gaussian_sampler=sampler,
-                             histogram=histogram)
+                             histogram=histogram,
+                             terminal_law=terminal_law)
         # warmup compiles the single chunk shape (the engine pads the
         # ragged tail rather than switching shapes)
         smmc.simulate_stats(model, 2**24, n_periods, seed=1,
@@ -98,6 +100,12 @@ def main():
     t_icdf, res = timed(gauss)
     t_clt, res_clt = timed(gauss, "clt")
     t_clt_so, _ = timed(gauss, "clt", histogram=False)
+    # terminal-law sampler (ops/terminal_law.py): V_T in one draw from
+    # the exact T-fold-convolution law — the framework's algorithmic
+    # upgrade; NOT like-for-like with the reference's month-loop
+    # benchmark, so it reports as extras only
+    t_law_h, res_law_h = timed(hist_model, terminal_law=True)
+    t_law_so, _ = timed(hist_model, terminal_law=True, histogram=False)
 
     # the engine runs single-device when no mesh is passed — the per-chip
     # rate must NOT divide by other idle visible devices
@@ -144,9 +152,18 @@ def main():
             "gaussian_std": round(res.std, 2),
             "mean_rel_err_vs_analytic_icdf": float(f"{rel_err:.2e}"),
             "mean_rel_err_vs_analytic_clt": float(f"{rel_err_clt:.2e}"),
+            # terminal-law sampler (same law as the historical month
+            # loop, drawn in one step; mean must agree within MC bars)
+            "elapsed_s_historical_terminal_law": round(t_law_h, 4),
+            "elapsed_s_historical_terminal_law_statsonly": round(
+                t_law_so, 4),
+            "terminal_law_mean": round(res_law_h.mean, 2),
+            "terminal_law_paths_per_sec_per_chip": round(
+                n_paths / t_law_so / n_chips, 1),
             # raw per-rep wall times, order: historical, historical
-            # stats-only, icdf, clt, clt stats-only — tunnel/machine
-            # variance is visible here (see docs/optimization_log.md)
+            # stats-only, icdf, clt, clt stats-only, law, law stats-only
+            # — tunnel/machine variance is visible here
+            # (see docs/optimization_log.md)
             "rep_times_s": all_reps,
         },
     }))
