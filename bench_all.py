@@ -104,7 +104,10 @@ def main():
     # 6. device-side percentile bands at scale (keepdata capability with
     # O(T) host transfer, engine/bands.py)
     n6 = 10**6 if quick else 10**7
-    smmc.simulate_bands(gauss, min(n6, 2**20), t_mo, seed=1)  # warm
+    # warm with the EXACT timed shape: band pallas_calls are compiled
+    # per grid size, so a smaller warm-up would leave a fresh Mosaic
+    # compile (minutes) inside the timed region
+    smmc.simulate_bands(gauss, n6, t_mo, seed=1)  # warm
     t0 = time.perf_counter()
     b = smmc.simulate_bands(gauss, n6, t_mo, seed=6)
     _line("trajectory_bands_device", n6, t_mo, time.perf_counter() - t0,
@@ -117,8 +120,8 @@ def main():
     from stock_market_monte_carlo_tpu.engine.engine import resolve_backend
 
     if resolve_backend(opts) == "pallas":
-        smmc.simulate_bands(gauss, min(n6, 2**20), t_mo, seed=1,
-                            band_mode="cdf")  # warm
+        smmc.simulate_bands(gauss, n6, t_mo, seed=1,
+                            band_mode="cdf")  # warm (exact timed shape)
         t0 = time.perf_counter()
         c = smmc.simulate_bands(gauss, n6, t_mo, seed=6, band_mode="cdf")
         _line("trajectory_bands_cdf", n6, t_mo, time.perf_counter() - t0,

@@ -699,7 +699,9 @@ def simulate_stats(
         model, strategy, n_periods, initial_capital, options.histogram_bins
     )
 
-    if backend == "pallas":
+    if backend == "pallas" or options.terminal_law:
+        # the terminal-law path never materializes the (B, T) growth
+        # buffer _xla_chunk_paths bounds — full chunks on any backend
         chunk_b = options.chunk_paths
     else:
         chunk_b = _xla_chunk_paths(n_periods, options)

@@ -386,10 +386,14 @@ def sobol_points_f64(dims: int, first_index, n: int,
         )
         acc_h = acc_h ^ jnp.where(is_zero, jnp.uint32(0), sh)[None, :]
         acc_l = acc_l ^ jnp.where(is_zero, jnp.uint32(0), sl)[None, :]
-    return (
+    out = (
         acc_h.astype(jnp.float64) * jnp.float64(2.0**32)
         + acc_l.astype(jnp.float64)
     ) * jnp.float64(2.0**-64)
+    # integers within 1024 of 2^64 round UP to 2^64 in float64 and would
+    # emit exactly 1.0, breaking the [0,1) contract (p ~ 5.5e-17/point
+    # but reachable under scrambling); clamp to the largest f64 below 1
+    return jnp.minimum(out, jnp.float64(1.0 - 2.0**-53))
 
 
 def sobol_points_f64_host(dims: int, offset: int, n: int) -> np.ndarray:
@@ -404,7 +408,8 @@ def sobol_points_f64_host(dims: int, offset: int, n: int) -> np.ndarray:
         take = (gray >> np.uint64(b)) & np.uint64(1)
         acc ^= np.where(take[:, None].astype(bool), v[None, :, b], 0)
     out = acc.astype(np.float64) * (2.0 ** -64)
-    return out
+    # same top-of-range rounding guard as sobol_points_f64 (bit parity)
+    return np.minimum(out, 1.0 - 2.0**-53)
 
 
 # Bratley-Fox "favorable" starting-seed exponents (reference
