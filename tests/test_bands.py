@@ -319,3 +319,53 @@ def test_cdf_bands_edge_shapes():
         assert (b.month_hist <= n).all()
         assert (np.diff(b.month_hist, axis=1) >= 0).all()
         np.testing.assert_allclose(b.values[:, 0], 1000.0)
+
+
+def test_bands_match_fft_marginal_laws():
+    """End-to-end statistical validation against a genuinely independent
+    oracle: the month-t marginal of V is the t-fold convolution law
+    (ops/analytic.final_value_distribution at n_periods=t), so band
+    quantiles must match the FFT oracle's at every probed month — full
+    fidelity on CPU (XLA backend, threefry draws). Keep-fraction
+    strategies shift each month's marginal by keep^t exactly."""
+    from stock_market_monte_carlo_tpu.models.strategies import (
+        FixedPercentWithdrawal,
+    )
+    from stock_market_monte_carlo_tpu.ops import analytic
+
+    n, t = 1 << 20, 60
+    qs = (0.05, 0.5, 0.95)
+    mean, std = float(GAUSS.mean_pct), float(GAUSS.std_pct)
+    for keep_pct in (0.0, 0.5):
+        strat = (smmc.NoWithdrawal() if keep_pct == 0.0
+                 else FixedPercentWithdrawal(keep_pct))
+        b = smmc.simulate_bands(GAUSS, n, t, seed=3, strategy=strat,
+                                quantile_levels=qs, sample_paths=0)
+        for tt in (1, 7, 30, 60):
+            values, cdf = analytic.final_value_distribution(
+                mean, std, tt, 1000.0
+            )
+            shift = (1.0 - keep_pct / 100.0) ** tt
+            oq = analytic.quantiles_from_cdf(values, cdf, qs) * shift
+            # budget: histogram z-bin quantization (~2e-3 rel at these
+            # scales) + MC quantile noise at 2^20 paths (~5e-4)
+            np.testing.assert_allclose(b.values[:, tt], oq, rtol=5e-3)
+
+
+def test_bands_historical_match_bootstrap_marginals():
+    """Same oracle check for the bootstrap model: month-t marginals are
+    the exact t-fold convolution of the table's point-mass law."""
+    from stock_market_monte_carlo_tpu.ops import analytic
+
+    h = smmc.HistoricalBootstrap.from_csv()
+    table = np.asarray(h.returns_pct, np.float64)
+    n, t = 1 << 20, 24
+    qs = (0.05, 0.5, 0.95)
+    b = smmc.simulate_bands(h, n, t, seed=5, quantile_levels=qs,
+                            sample_paths=0)
+    for tt in (6, 24):
+        values, cdf = analytic.bootstrap_final_value_distribution(
+            table, tt, 1000.0
+        )
+        oq = analytic.quantiles_from_cdf(values, cdf, qs)
+        np.testing.assert_allclose(b.values[:, tt], oq, rtol=5e-3)
