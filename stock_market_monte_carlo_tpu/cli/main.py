@@ -198,10 +198,13 @@ def main(argv=None):
     p.add_argument("--seed", type=int, default=0)
     p.add_argument("--curves", type=int, default=20)
     p.add_argument("--save", type=str, default=None)
-    p.add_argument("--band-mode", choices=["hist", "cdf"], default="hist",
+    p.add_argument("--band-mode", choices=["hist", "cdf", "analytic"],
+                   default="hist",
                    help="cdf: counts below 32 analytic thresholds/month + "
                         "probit inversion (Pallas backend only; ~2x "
-                        "faster band kernel)")
+                        "faster band kernel). analytic: EXACT "
+                        "infinite-path bands from the FFT marginal laws "
+                        "— zero device time, n_simulations ignored")
     p.set_defaults(fn=c.visualize_bands)
 
     p = sub.add_parser(

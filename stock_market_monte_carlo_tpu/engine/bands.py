@@ -230,6 +230,13 @@ def simulate_bands(
     reduced with far less in-kernel work (see ops/pallas_bands.py). The
     returned ``month_hist`` is then the counts-below table and
     ``log_thresholds`` holds the threshold grid.
+
+    ``band_mode="analytic"`` returns the EXACT infinite-path bands: the
+    month-t marginal of V is a closed t-fold convolution law, so the
+    quantiles come from one FFT + T characteristic-function powers on
+    the host (ops/analytic.marginal_value_quantiles, ~1e-4 relative) —
+    zero device time, ``n_paths`` ignored except for the sampled fan
+    curves. Gaussian/historical models, multiplicative strategies.
     """
     from stock_market_monte_carlo_tpu.engine import engine as eng
 
@@ -284,13 +291,62 @@ def simulate_bands(
         and eng.resolve_backend(options) == "pallas"
         and pb.bands_supported(model, strategy.kind)
     )
-    if band_mode not in ("hist", "cdf"):
-        raise ValueError(f"band_mode must be 'hist' or 'cdf', got "
-                         f"{band_mode!r}")
+    if band_mode not in ("hist", "cdf", "analytic"):
+        raise ValueError(f"band_mode must be 'hist', 'cdf', or "
+                         f"'analytic', got {band_mode!r}")
     if getattr(options, "terminal_law", False):
         raise ValueError(
             "terminal_law samples only the FINAL value's law; bands are "
-            "month-resolved — use the default month-loop engine"
+            "month-resolved — use band_mode='analytic' for the exact "
+            "infinite-path bands, or the default month-loop engine"
+        )
+    if band_mode == "analytic":
+        # EXACT infinite-path bands: no sampling at all — month t's
+        # marginal is the t-fold convolution law, computed by one FFT +
+        # T incremental characteristic-function powers on the host
+        # (ops/analytic.marginal_value_quantiles). n_paths is ignored
+        # except for the optional sampled fan curves.
+        from stock_market_monte_carlo_tpu.ops import analytic as ana
+
+        if linear:
+            raise ValueError(
+                "band_mode='analytic' needs a multiplicative strategy "
+                "(fixed-amount withdrawals have no closed marginal law)"
+            )
+        if model.kind not in ("gaussian", "historical"):
+            raise ValueError(
+                "band_mode='analytic' supports gaussian/historical "
+                f"models (the marginal law is closed-form); got "
+                f"{model.kind!r}"
+            )
+        if model.kind == "gaussian":
+            kind, params = "gaussian", (float(np.asarray(model.mean_pct)),
+                                        float(np.asarray(model.std_pct)))
+        else:
+            kind, params = "bootstrap", np.asarray(model.returns_pct,
+                                                   np.float64)
+        keep = (None if isinstance(strategy, NoWithdrawal)
+                else np.asarray(eng._keep_factors(strategy, n_periods),
+                                np.float64))
+        qs = tuple(quantile_levels)
+        values = ana.marginal_value_quantiles(
+            kind, params, n_periods, float(initial_capital), qs,
+            keep=keep,
+        )
+        k = min(sample_paths, n_paths)
+        sample = np.asarray(eng.simulate_paths(
+            model, k, n_periods, initial_capital, seed, strategy
+        )) if k > 0 else np.empty((0, n_periods + 1))
+        return TrajectoryBands(
+            quantile_levels=qs,
+            values=values,
+            months=months,
+            sample_paths=sample,
+            n_paths=0,      # exact law, not an n-path estimate
+            month_hist=np.zeros((n_periods + 1, 0)),
+            centers=centers,
+            scales=scales if not linear else np.asarray(scales),
+            mode="analytic",
         )
     use_cdf = band_mode == "cdf"
     if use_cdf:

@@ -369,3 +369,67 @@ def test_bands_historical_match_bootstrap_marginals():
         )
         oq = analytic.quantiles_from_cdf(values, cdf, qs)
         np.testing.assert_allclose(b.values[:, tt], oq, rtol=5e-3)
+
+
+def test_analytic_bands_match_sampled_and_oracle():
+    """band_mode='analytic': exact infinite-path bands — must agree with
+    the standalone per-month oracle to grid tolerance and with a 2^20-
+    path sampled run to MC tolerance; keep-fraction strategies shift
+    marginals exactly; fan curves still sample."""
+    from stock_market_monte_carlo_tpu.models.strategies import (
+        FixedPercentWithdrawal,
+    )
+    from stock_market_monte_carlo_tpu.ops import analytic
+
+    qs = (0.05, 0.5, 0.95)
+    t = 24
+    a = smmc.simulate_bands(GAUSS, 1, t, quantile_levels=qs,
+                            sample_paths=4, band_mode="analytic")
+    assert a.mode == "analytic"
+    assert a.n_paths == 0
+    assert a.sample_paths.shape == (1, t + 1)  # capped at n_paths
+    a4 = smmc.simulate_bands(GAUSS, 100, t, quantile_levels=qs,
+                             sample_paths=4, band_mode="analytic")
+    assert a4.sample_paths.shape == (4, t + 1)
+    mean, std = float(GAUSS.mean_pct), float(GAUSS.std_pct)
+    for tt in (1, 12, 24):
+        vals, cdf = analytic.final_value_distribution(mean, std, tt,
+                                                      1000.0)
+        oq = analytic.quantiles_from_cdf(vals, cdf, qs)
+        np.testing.assert_allclose(a.values[:, tt], oq, rtol=3e-4)
+    s = smmc.simulate_bands(GAUSS, 1 << 20, t, seed=3, quantile_levels=qs,
+                            sample_paths=0)
+    np.testing.assert_allclose(a.values[:, 1:], s.values[:, 1:],
+                               rtol=5e-3)
+    # strategy shift is exact
+    strat = FixedPercentWithdrawal(0.5)
+    ak = smmc.simulate_bands(GAUSS, 1, t, strategy=strat,
+                             quantile_levels=qs, sample_paths=0,
+                             band_mode="analytic")
+    keep = 1.0 - 0.5 / 100.0
+    # keep factors are float32 in the strategy contract -> ~1e-7 rel
+    np.testing.assert_allclose(
+        ak.values[:, t], a.values[:, t] * keep**t, rtol=1e-6)
+
+
+def test_analytic_bands_historical_and_rejections():
+    import pytest
+
+    from stock_market_monte_carlo_tpu.ops import analytic
+
+    h = smmc.HistoricalBootstrap.from_csv()
+    qs = (0.25, 0.5, 0.75)
+    t = 12
+    a = smmc.simulate_bands(h, 1, t, quantile_levels=qs, sample_paths=0,
+                            band_mode="analytic")
+    vals, cdf = analytic.bootstrap_final_value_distribution(
+        np.asarray(h.returns_pct, np.float64), t, 1000.0)
+    oq = analytic.quantiles_from_cdf(vals, cdf, qs)
+    np.testing.assert_allclose(a.values[:, t], oq, rtol=3e-4)
+    with pytest.raises(ValueError, match="multiplicative"):
+        smmc.simulate_bands(h, 1, t, band_mode="analytic",
+                            strategy=FixedAmountWithdrawal(amount=1.0))
+    with pytest.raises(ValueError, match="gaussian/historical"):
+        smmc.simulate_bands(
+            smmc.SobolGaussianReturns.create(n_periods=t), 1, t,
+            band_mode="analytic")
