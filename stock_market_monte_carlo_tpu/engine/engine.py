@@ -733,6 +733,21 @@ def simulate_stats(
     offset = 0
     remaining = n_paths
 
+    # Absorb cadence. Fetching a chunk's (tiny) stats through the axon
+    # tunnel costs a ~20-35 ms round-trip (measured,
+    # experiments/exp_dispatch_overhead.py); the one-deep overlap below
+    # only hides it while the NEXT chunk computes, so for kernels whose
+    # device time is below the round-trip (terminal-law: 12.8 ms/chunk,
+    # CLT: 40 ms/chunk at 2^24) the fetch tax dominated end-to-end wall
+    # (law 100M: 77 ms device vs 400 ms wall). When nothing consumes
+    # per-chunk results — no stream/progress callback, no checkpoint,
+    # no finals collection — defer every absorb: queue ALL dispatches,
+    # stack the per-chunk device stats, fetch once, and run the exact
+    # same f64 host merges in dispatch order (bit-identical results).
+    defer_absorb = (stream is None and progress is None
+                    and checkpoint_path is None and not keep_finals)
+    deferred = []  # (arrays, paths_done_after, valid, offset_after)
+
     fingerprint = None
     if checkpoint_path is not None:
         from stock_market_monte_carlo_tpu.engine import checkpoint as ckpt
@@ -839,6 +854,14 @@ def simulate_stats(
                 offsets, valids, target, shift_j,
             )
 
+        if defer_absorb:
+            deferred.append((out, done + this_valid_total,
+                             this_valid_total, offset + b * n_dev))
+            done += this_valid_total
+            offset += b * n_dev
+            remaining -= this_valid_total
+            continue
+
         # Overlap: fetch chunk k-1 while chunk k computes on device.
         if pending is not None:
             total_stats, total_hist, done = _absorb(
@@ -864,6 +887,20 @@ def simulate_stats(
         offset += b * n_dev
         remaining -= this_valid_total
 
+    if deferred:
+        # ONE tunnel round-trip per output kind for the whole run, then
+        # the identical sequential f64 merges (same order, same math as
+        # the per-chunk path — results are bit-identical to it).
+        s_all, h_all = jax.device_get((
+            jnp.stack([d[0][0] for d in deferred]),
+            jnp.stack([d[0][1] for d in deferred]),
+        ))
+        for i, d in enumerate(deferred):
+            total_stats, total_hist, done = _absorb(
+                ((s_all[i], h_all[i]), d[1], d[2]), total_stats,
+                total_hist, finals_parts, keep_finals, stat_scale,
+                shift_c,
+            )
     if pending is not None:  # None when a checkpoint was already complete
         total_stats, total_hist, done = _absorb(
             pending, total_stats, total_hist, finals_parts, keep_finals,

@@ -75,6 +75,28 @@ def test_chunk_invariance():
     np.testing.assert_array_equal(fa, fb)
 
 
+def test_deferred_absorb_bit_identical():
+    """The deferred-absorb fast path (no per-chunk consumers: one
+    device fetch for the whole run) must reproduce the per-chunk absorb
+    path bit for bit — same f64 merges in the same order, only the
+    fetch cadence differs (experiments/exp_dispatch_overhead.py
+    measured ~20-35 ms tunnel tax per per-chunk fetch)."""
+    n, t = 5 * eng.KEY_TILE + 123, 18
+    opts = EngineOptions(chunk_paths=eng.KEY_TILE)
+    a = smmc.simulate_stats(
+        GAUSS, n, t, seed=7, target_amount=1500.0, options=opts
+    )  # deferred: no stream/progress/checkpoint/keep_finals
+    seen = []
+    b = smmc.simulate_stats(
+        GAUSS, n, t, seed=7, target_amount=1500.0, options=opts,
+        progress=lambda d, total: seen.append(d),
+    )  # per-chunk absorb path
+    assert len(seen) >= 6  # one per chunk + final: the slow path ran
+    np.testing.assert_array_equal(a.histogram_counts, b.histogram_counts)
+    assert a.moments == b.moments  # dataclass eq: every derived stat
+    assert a.count_below == b.count_below
+
+
 def test_ragged_path_count():
     """n_paths not divisible by anything still gives exact counts."""
     n, t = eng.KEY_TILE + 1234, 12
