@@ -67,12 +67,15 @@ def main():
          opts(chunk_paths=2**17)),
         ("keep-finals clt", gauss, {"keep_final_values": True},
          opts(gaussian_sampler="clt", chunk_paths=2**18)),
-        # the terminal-law kernel is model/horizon-independent (runtime
-        # coefficient operand): one hist + one stats-only compile covers
-        # every market/T/v0/keep config
+        # the terminal-law kernels are model/horizon-independent (runtime
+        # coefficient operand): the grouped finals-free kernel (hist +
+        # no-hist) plus the finals-writing kernel cover every
+        # market/T/v0/keep config
         ("terminal-law", gauss, {}, opts(terminal_law=True)),
-        ("terminal-law stats-only", gauss, {},
+        ("terminal-law no-hist", gauss, {},
          opts(terminal_law=True, histogram=False)),
+        ("terminal-law keep-finals", gauss, {"keep_final_values": True},
+         opts(terminal_law=True, chunk_paths=2**18)),
     ]
     for name, model, kw, o in jobs:
         periods = 120 if "120mo" in name else T

@@ -1114,6 +1114,160 @@ def _build_law_call(ntiles: int, interpret, with_hist: bool):
     )
 
 
+# Stats-only variant (optimization_log v15): when nothing reads per-path
+# finals, the kernel above wastes ~10x its arithmetic on HBM writes —
+# 64 MB/chunk of finals plus 32 MB of per-tile (64,64) histogram rows at
+# the default 2^24 chunk — and pays per-grid-step overhead on a 2048-step
+# grid whose body is only ~150 VPU ops. This kernel:
+#   * never writes finals;
+#   * processes LAW_GROUP logical 8192-path tiles per grid step, each
+#     re-seeded with its own global tile index, so the PRNG bit stream is
+#     IDENTICAL to the finals kernel's (same family as
+#     experiments/exp_grid_overhead.py's grouped variant);
+#   * emits ONE (8,128) partials row per grid step (group-reduced in
+#     registers — the group tree also keeps f32 summation error at the
+#     ungrouped kernel's level);
+#   * accumulates the MXU histogram into a single (64,64) VMEM block that
+#     persists across grid steps (constant index_map, zeroed at pid == 0
+#     — the ops/pallas_bands.py pattern); counts are integers <= 2^24,
+#     exact in f32.
+# HBM output traffic per 2^24-path chunk: 104 MB -> 528 KB.
+
+LAW_GROUP = 16
+
+
+def _build_law_stats_kernel(with_hist: bool, group: int):
+    """Finals-free terminal-law kernel: same SMEM operands as
+    _build_law_kernel; outs are one (N_PARTIAL_ROWS,128) partials row per
+    grid step and (with_hist) a single accumulated (64,64) histogram."""
+    from stock_market_monte_carlo_tpu.ops.terminal_law import LAW_D
+
+    def kernel(*refs):
+        it = iter(refs)
+        iscal = next(it)
+        fscal = next(it)
+        law_ref = next(it)
+        partials_ref = next(it)
+        hist_ref = next(it) if with_hist else None
+
+        pid = pl.program_id(0)
+        rr = jax.lax.broadcasted_iota(jnp.int32, (TILE_ROWS, 128), 0)
+        ll = jax.lax.broadcasted_iota(jnp.int32, (TILE_ROWS, 128), 1)
+        rio = jax.lax.broadcasted_iota(jnp.int32, (64, 128), 0)
+        inv0 = 1.0 / fscal[0]
+
+        if with_hist:
+            @pl.when(pid == 0)
+            def _init():
+                hist_ref[:] = jnp.zeros_like(hist_ref)
+
+        zrow = jnp.zeros((1, 128), jnp.float32)
+        s1 = s2 = s3 = s4 = cb = zrow
+        mn = jnp.full((1, 128), jnp.inf, jnp.float32)
+        mx = jnp.full((1, 128), -jnp.inf, jnp.float32)
+        hist_acc = jnp.zeros((64, 64), jnp.float32) if with_hist else None
+
+        def rowsum(x):
+            return jnp.sum(x, axis=0, keepdims=True)
+
+        for g in range(group):
+            tile_local = pid * group + g
+            pltpu.prng_seed(_tile_seed_i32(iscal[0], iscal[1] + tile_local))
+            u = _u23_from_bits(pltpu.prng_random_bits((TILE_ROWS, 128)))
+            z = jnp.float32(_SQRT2) * _erfinv_poly(2.0 * u - 1.0)
+            # u23 keeps |z| <= ~5.54 < LAW_CLAMP by construction; no clamp
+            s = z * fscal[5]
+            two_s = 2.0 * s
+            b1 = jnp.zeros((TILE_ROWS, 128), jnp.float32)
+            b2 = jnp.zeros((TILE_ROWS, 128), jnp.float32)
+            for k in range(LAW_D - 1, 0, -1):
+                b0 = two_s * b1 - b2 + law_ref[1 + k, 0]
+                b2 = b1
+                b1 = b0
+            total = law_ref[0, 0] * jnp.exp(s * b1 - b2 + law_ref[1, 0])
+
+            local_id = tile_local * TILE_PATHS + rr * 128 + ll
+            mask = local_id < iscal[2]
+            tot_s = total * inv0
+            f = jnp.where(mask, tot_s - fscal[4], 0.0)
+            f2 = f * f
+            s1 = s1 + rowsum(f)
+            s2 = s2 + rowsum(f2)
+            s3 = s3 + rowsum(f2 * f)
+            s4 = s4 + rowsum(f2 * f2)
+            mn = jnp.minimum(
+                mn, jnp.min(jnp.where(mask, tot_s, jnp.inf), axis=0,
+                            keepdims=True))
+            mx = jnp.maximum(
+                mx, jnp.max(jnp.where(mask, tot_s, -jnp.inf), axis=0,
+                            keepdims=True))
+            cb = cb + rowsum(jnp.where(mask & (total < fscal[1]), 1.0, 0.0))
+
+            if with_hist:
+                hb = iscal[3]
+                bins = _kernel_bin_indices(total, mask, fscal[2], fscal[3],
+                                           hb)
+                hi_b = bins >> 6
+                lo_b = bins & 63
+                oh_hi_t = jnp.concatenate(
+                    [(hi_b[r:r + 1, :] == rio).astype(jnp.bfloat16)
+                     for r in range(TILE_ROWS)], axis=1,
+                )
+                oh_lo_t = jnp.concatenate(
+                    [(lo_b[r:r + 1, :] == rio).astype(jnp.bfloat16)
+                     for r in range(TILE_ROWS)], axis=1,
+                )
+                hist_acc = hist_acc + jax.lax.dot_general(
+                    oh_hi_t, oh_lo_t, (((1,), (1,)), ((), ())),
+                    preferred_element_type=jnp.float32,
+                )
+
+        partials_ref[:] = jnp.concatenate(
+            [s1, s2, s3, s4, mn, mx, cb, zrow], axis=0)
+        if with_hist:
+            hist_ref[:] += hist_acc
+
+    return kernel
+
+
+@lru_cache(maxsize=16)
+def _build_law_stats_call(nsteps: int, group: int, interpret,
+                          with_hist: bool):
+    kernel = _build_law_stats_kernel(with_hist, group)
+    in_specs = [
+        pl.BlockSpec(memory_space=pltpu.SMEM),  # iscal
+        pl.BlockSpec(memory_space=pltpu.SMEM),  # fscal
+        pl.BlockSpec(memory_space=pltpu.SMEM),  # law operand
+    ]
+    out_specs = [
+        pl.BlockSpec((N_PARTIAL_ROWS, 128), lambda i: (i, 0),
+                     memory_space=pltpu.VMEM),
+    ]
+    out_shape = [
+        jax.ShapeDtypeStruct((nsteps * N_PARTIAL_ROWS, 128), jnp.float32),
+    ]
+    if with_hist:
+        out_specs.append(pl.BlockSpec((64, 64), lambda i: (0, 0),
+                                      memory_space=pltpu.VMEM))
+        out_shape.append(jax.ShapeDtypeStruct((64, 64), jnp.float32))
+    return pl.pallas_call(
+        kernel,
+        grid=(nsteps,),
+        in_specs=in_specs,
+        out_specs=tuple(out_specs),
+        out_shape=tuple(out_shape),
+        interpret=interpret,
+    )
+
+
+def _law_group(ntiles: int) -> int:
+    """Largest power-of-two divisor of ``ntiles`` capped at LAW_GROUP."""
+    g = 1
+    while g < LAW_GROUP and ntiles % (2 * g) == 0:
+        g *= 2
+    return g
+
+
 def _law_chunk_stats(law_op, root_key, v0, path_offset, valid, target,
                      shift, *, chunk_shape_b, spec, keep_finals,
                      with_hist):
@@ -1144,6 +1298,30 @@ def _law_chunk_stats(law_op, root_key, v0, path_offset, valid, target,
         jnp.float32(0), jnp.float32(0),
     ])
     law2d = jnp.asarray(law_op, jnp.float32).reshape(-1, 1)
+
+    # finals-free fast path: identical PRNG streams, no 4 B/path HBM
+    # write, grouped grid (see _build_law_stats_kernel). Runs whenever
+    # nothing consumes per-path finals; the non-MXU histogram epilogue is
+    # the one consumer that still needs them.
+    if not keep_finals and (mxu_hist or not with_hist):
+        group = _law_group(ntiles)
+        call = _build_law_stats_call(
+            ntiles // group, group, interpret, mxu_hist)
+        outs = call(iscal, fscal, law2d)
+        p = outs[0].reshape(ntiles // group, N_PARTIAL_ROWS, 128)
+        stats = jnp.concatenate([
+            jnp.asarray(valid, jnp.float32)[None],
+            jnp.sum(p[:, 0:4], axis=(0, 2)),
+            jnp.min(p[:, 4])[None],
+            jnp.max(p[:, 5])[None],
+            jnp.sum(p[:, 6])[None],
+            jnp.sum(p[:, 7])[None],
+        ])
+        if mxu_hist:
+            hist = outs[1].reshape(-1)[:hb]
+        else:
+            hist = jnp.zeros((hb,), jnp.float32)
+        return stats, hist
 
     call = _build_law_call(ntiles, interpret, mxu_hist)
     outs = call(iscal, fscal, law2d)

@@ -273,3 +273,66 @@ def _erfinv_np(x):
     )
 
     return float(_erfinv_poly(jnp.float32(x)))
+
+
+def test_law_statsonly_kernel_matches_finals_kernel():
+    """The finals-free grouped law kernel (pallas_engine.
+    _build_law_stats_kernel) must reproduce the finals kernel's stats and
+    histogram from the SAME per-tile streams. Under the CPU interpreter
+    the PRNG stub makes every draw identical, which still pins the
+    grouped seeding order, ragged masking, group/grid accumulation and
+    the constant-index-map histogram block against the per-tile
+    reference; hardware runs the same identity at full entropy
+    (tests/test_tpu_only.py::test_law_statsonly_matches_finals_kernel)."""
+    import jax
+    import jax.numpy as jnp
+
+    from stock_market_monte_carlo_tpu.ops import pallas_engine as pe
+    from stock_market_monte_carlo_tpu.ops import reductions as red
+
+    fit = tlaw.fit_terminal_law(GAUSS, smmc.NoWithdrawal(), 360, 1000.0)
+    law_op = jnp.asarray(fit.operand())
+    spec = red.HistogramSpec(lo=10.0, hi=1e6, n_bins=4094)
+    key = jax.random.key(9)
+    kw = dict(n_periods=360, chunk_shape_b=4 * pe.TILE_PATHS, spec=spec,
+              sampler="law")
+    # ragged: last 1000 paths of the chunk are masked padding
+    valid = 4 * pe.TILE_PATHS - 1000
+    a = pe.pallas_chunk_stats(
+        GAUSS, smmc.NoWithdrawal(), key, law_op, jnp.float32(1000.0),
+        jnp.uint32(0), valid, jnp.float32(2000.0), keep_finals=False,
+        **kw)
+    b = pe.pallas_chunk_stats(
+        GAUSS, smmc.NoWithdrawal(), key, law_op, jnp.float32(1000.0),
+        jnp.uint32(0), valid, jnp.float32(2000.0), keep_finals=True,
+        **kw)
+    sa, ha = np.asarray(a[0], np.float64), np.asarray(a[1])
+    sb, hb = np.asarray(b[0], np.float64), np.asarray(b[1])
+    # histogram counts are integers accumulated exactly in both paths
+    np.testing.assert_array_equal(ha, hb)
+    assert ha.sum() == valid
+    # moment rows: identical addends, different (tree) association —
+    # the zero-bit stub makes all 31768 addends equal, the worst case
+    # for f32 reassociation drift (measured ~1e-6 relative)
+    np.testing.assert_allclose(sa, sb, rtol=5e-6, atol=1e-9)
+    # min/max/count rows are order-independent: exact
+    np.testing.assert_array_equal(sa[5:8], sb[5:8])
+
+    # no-histogram variant composes and agrees on the moment rows
+    c = pe.pallas_chunk_stats(
+        GAUSS, smmc.NoWithdrawal(), key, law_op, jnp.float32(1000.0),
+        jnp.uint32(0), valid, jnp.float32(2000.0), keep_finals=False,
+        with_hist=False, **kw)
+    np.testing.assert_array_equal(np.asarray(c[0]), np.asarray(a[0]))
+    assert np.asarray(c[1]).sum() == 0.0
+
+
+def test_law_group_divisors():
+    from stock_market_monte_carlo_tpu.ops.pallas_engine import _law_group
+
+    assert _law_group(1) == 1
+    assert _law_group(3) == 1
+    assert _law_group(6) == 2
+    assert _law_group(16) == 16
+    assert _law_group(2048) == 16
+    assert _law_group(12) == 4

@@ -454,3 +454,28 @@ def test_terminal_law_hardware_parity():
     assert res2.mean == res.mean
     np.testing.assert_array_equal(res2.histogram_counts,
                                   res.histogram_counts)
+
+
+def test_law_statsonly_matches_finals_kernel_hardware():
+    """Full-entropy identity between the finals-free grouped law kernel
+    (the simulate_stats default) and the finals-writing kernel
+    (keep_final_values=True): same per-tile hardware-PRNG streams by
+    construction, so histograms/min/max/count-below agree exactly and
+    the moment rows to f32 reassociation."""
+    import stock_market_monte_carlo_tpu as smmc
+
+    n, t = 2**21 + 12345, 360  # ragged tail exercises masked group lanes
+    g = smmc.GaussianReturns()
+    a = smmc.simulate_stats(g, n, t, seed=17,
+                            options=_opts(terminal_law=True))
+    b = smmc.simulate_stats(g, n, t, seed=17,
+                            options=_opts(terminal_law=True),
+                            keep_final_values=True)
+    np.testing.assert_array_equal(a.histogram_counts, b.histogram_counts)
+    assert a.moments.min == b.moments.min
+    assert a.moments.max == b.moments.max
+    assert a.count_below == b.count_below
+    assert abs(a.mean / b.mean - 1.0) < 1e-6
+    assert abs(a.std / b.std - 1.0) < 1e-5
+    # the finals themselves are the law quantile of each path's draw
+    assert b.final_values is not None and len(b.final_values) == n
