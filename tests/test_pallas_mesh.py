@@ -172,3 +172,25 @@ def test_pallas_sharded_keep_finals(mesh8, historical_table):
                                          mesh=mesh8)
     assert sharded.shape == (n,)
     np.testing.assert_array_equal(single, sharded)
+
+
+def test_law_statsonly_grouped_sharded(mesh8):
+    """The finals-free grouped terminal-law kernel (multiple logical
+    tiles per grid step, VMEM-accumulated histogram) under shard_map at
+    a chunk size that engages the grouping — the production multi-chip
+    law configuration. Zero-bit streams: sharded must equal
+    single-device exactly (same dispatch shapes both ways). group=4
+    keeps the TPU-semantics interpreter affordable (~70 s/compile on
+    CPU); ragged in-group masking is covered at the kernel level
+    (test_terminal_law.py) and at full entropy on hardware
+    (test_tpu_only.py)."""
+    opts = EngineOptions(backend="pallas", terminal_law=True,
+                         chunk_paths=4 * KEY_TILE)
+    n, t = 8 * 4 * KEY_TILE, 360  # one grouped chunk per device
+    a = smmc.simulate_stats(smmc.GaussianReturns(), n, t, seed=6,
+                            target_amount=2000.0, options=opts)
+    b = smmc.simulate_stats(smmc.GaussianReturns(), n, t, seed=6,
+                            target_amount=2000.0, options=opts,
+                            mesh=mesh8)
+    _stats_identical(a, b)
+    assert a.histogram_counts.sum() == n
