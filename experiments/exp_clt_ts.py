@@ -47,6 +47,24 @@ def child(ts: int):
 
     pe.CLT_TS = ts  # before any kernel build (caches key on shapes only)
 
+    if ts > 1:
+        # TS>1 blows the DEFAULT 16MB scoped-VMEM stack (measured:
+        # 16.03M at TS=4's first failure shape, 18.26M at TS=2 — the
+        # unrolled group keeps both tiles' (P,K) chain buffers live).
+        # v5e VMEM is 128MB physical; raise the scoped limit for this
+        # experiment only, via a pallas_call wrapper (the library build
+        # path takes no compiler_params).
+        from jax.experimental.pallas import tpu as pltpu
+
+        orig_call = pe.pl.pallas_call
+
+        def patched(kernel, **kw):
+            kw.setdefault("compiler_params", pltpu.CompilerParams(
+                vmem_limit_bytes=28 * 1024 * 1024))
+            return orig_call(kernel, **kw)
+
+        pe.pl.pallas_call = patched
+
     g = smmc.GaussianReturns()
     strat = NoWithdrawal()
     root = jax.random.key(1)
@@ -105,10 +123,10 @@ def child(ts: int):
     }), flush=True)
 
 
-def main():
+def main(ts_list):
     here = os.path.abspath(__file__)
     results = []
-    for ts in (1, 2, 4):
+    for ts in ts_list:
         p = subprocess.run(
             [sys.executable, here, "child", str(ts)],
             capture_output=True, text=True,
@@ -135,4 +153,6 @@ if __name__ == "__main__":
     if len(sys.argv) > 1 and sys.argv[1] == "child":
         child(int(sys.argv[2]))
     else:
-        main()
+        # TS=4 measured: VMEM stack OOM at P=4096 (16.03M vs the 16M
+        # scoped limit) — 2 is the largest grouping that fits
+        main([int(a) for a in sys.argv[1:]] or [1, 2])
