@@ -556,6 +556,14 @@ CLT_TS = 1     # tiles per grid step (plain kernel). TS=2 measured a
 #                — the larger per-step output blocks cost more grid-level
 #                overlap than the per-step fixed cost they save. Streams
 #                are per-tile, so any TS gives bit-identical results.
+#                RE-MEASURED under the v14 deferred-absorb dispatch
+#                (experiments/exp_clt_ts.py, 2026-08-18): TS=2 no longer
+#                even fits the default 16MB scoped-VMEM stack (18.26M —
+#                the kernel grew centered sums + the MXU histogram since
+#                the original probe); with vmem_limit_bytes=28M it
+#                compiles but the K=6-batched device time is WORSE
+#                (53.95 vs 39.61 ms/chunk same-batch, results
+#                bit-identical). TS=1 stays.
 CLT_P_STRATEGY = 2048  # paths per tile with withdrawal strategies —
 #                       P=4096 blows the 16 MB scoped-VMEM limit with
 #                       either prefix implementation (22 MB with the
