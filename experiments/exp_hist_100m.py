@@ -12,7 +12,7 @@ assert jax.default_backend() == "tpu"
 h = smmc.HistoricalBootstrap.from_csv()
 print("table rows:", h.returns_pct.shape)
 
-for chunk in (2**24, 2**25):
+for chunk in (2**23, 2**24):  # 2^24 is the exact-count cap (config.py)
     opts = EngineOptions(chunk_paths=chunk)
     r = smmc.simulate_stats(h, 100_000_000, 360, seed=1, options=opts)  # warm
     t0 = time.perf_counter()

@@ -5,8 +5,15 @@ holds no per-path state in HBM, so the chunk size is no longer bounded
 by the finals buffer — one 2^27-path dispatch can cover a 100M-path run
 (the engine pads the last chunk; the ragged mask keeps stats exact).
 This measures 100M x 360 Gaussian law stats+hist at chunk_paths in
-{2^24 (default), 2^25, 2^26, 2^27} with the paired warm-up/timed process
-pattern (docs/profiling.md).
+{2^23, 2^24 (default)} with the paired warm-up/timed process pattern
+(docs/profiling.md).
+
+HISTORY: this experiment originally swept up to 2^27 and found 2^25 the
+sweet spot (0.078 s vs 0.085-0.095 s at 2^24; 2^26/2^27 pad 100M->134M
+and give it back). chunk_paths is now CAPPED at 2^24 (config.py): counts
+accumulate in f32 on device, which is exact only to 2^24 per chunk —
+the ~3% tunnel-dispatch saving did not justify breaking the exact-count
+contract. The sweep keeps the sub-cap points for regression tracking.
 
 Usage: python experiments/exp_law_chunk.py [report|run <log2_chunk>]
 """
@@ -21,7 +28,7 @@ sys.path.insert(0, REPO)
 N_PATHS = 100_000_000
 T = 360
 
-CHUNKS = (24, 25, 26, 27)
+CHUNKS = (23, 24)  # capped at 2^24 — see HISTORY above
 
 
 def run(log2_chunk: int):

@@ -74,13 +74,6 @@ def main():
         ("terminal-law", gauss, {}, opts(terminal_law=True)),
         ("terminal-law no-hist", gauss, {},
          opts(terminal_law=True, histogram=False)),
-        # bench.py times terminal-law at 2^25 chunks (3 dispatches at
-        # 100M, 0.7% padding — exp_law_chunk.py's sweet spot); the grid
-        # length is a compile-time constant, so this is a distinct kernel
-        ("terminal-law 2^25 (bench)", gauss, {},
-         opts(terminal_law=True, chunk_paths=2**25)),
-        ("terminal-law 2^25 no-hist", gauss, {},
-         opts(terminal_law=True, histogram=False, chunk_paths=2**25)),
         ("terminal-law keep-finals", gauss, {"keep_final_values": True},
          opts(terminal_law=True, chunk_paths=2**18)),
     ]

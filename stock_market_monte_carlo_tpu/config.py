@@ -116,6 +116,24 @@ class EngineOptions:
                 "chunk_paths must be a multiple of 8192 (the RNG/path tile),"
                 f" got {self.chunk_paths}"
             )
+        if self.chunk_paths > 2**24:
+            # Per-device count exactness invariant: path counts and
+            # count-below accumulate in f32 on device (per-tile partial
+            # rows + in-chunk reductions + the law kernel's VMEM
+            # histogram cells). f32 represents every integer only up to
+            # 2^24, so one device-chunk must not exceed it — at 2^24 all
+            # intermediate partial sums are integers <= 2^24 and hence
+            # exact. Cross-device merges (engine device_fn) psum counts
+            # in int32 (exact to 2^31) and the host merges in float64,
+            # so total run size is unbounded; only the per-dispatch
+            # device chunk is capped. (2^25 chunks measured ~3% faster
+            # at 100M in the tunnel-bound environment —
+            # experiments/exp_law_chunk.py — but break the documented
+            # exact-count/chunk-invariance contract.)
+            raise ValueError(
+                "chunk_paths must be <= 2**24 to keep on-device f32 path "
+                f"counts exact, got {self.chunk_paths}"
+            )
         if self.gaussian_sampler not in ("icdf", "clt", "clt-prefix"):
             raise ValueError(
                 "gaussian_sampler must be 'icdf', 'clt', or 'clt-prefix', "

@@ -377,9 +377,16 @@ def _get_chunk_fn(model_kind, strategy_kind, n_periods, chunk_b, spec,
         from stock_market_monte_carlo_tpu.ops import pallas_engine
 
         sampler_key = f"clt-prefix-{pallas_engine.clt_prefix_impl()}"
+    ablate_key = ""
+    if backend == "pallas":
+        # the roofline-ablation hook (WRONG statistics, timing only) is
+        # also env-resolved at trace time — same stale-fn hazard
+        from stock_market_monte_carlo_tpu.ops import pallas_engine
+
+        ablate_key = pallas_engine.hist_ablate_mode()
     cache_key = (
         model_kind, strategy_kind, n_periods, chunk_b, spec, keep_finals,
-        mesh_key, backend, sampler_key, with_hist,
+        mesh_key, backend, sampler_key, with_hist, ablate_key,
     )
     fn = _CHUNK_FN_CACHE.get(cache_key)
     if fn is not None:
@@ -422,14 +429,30 @@ def _get_chunk_fn(model_kind, strategy_kind, n_periods, chunk_b, spec,
                 offsets[0], valids[0], target, shift,
             )
             s = out[0]
-            # exact cross-device merge over ICI: sums psum, extrema pmin/pmax
+            # Exact cross-device merge over ICI: float sums psum in f32,
+            # extrema pmin/pmax. COUNTS (row 0 = n, row 7 = count_below)
+            # psum in int32: each per-device value is an exact f32
+            # integer <= chunk_paths <= 2^24 (config invariant), but the
+            # merged total can exceed 2^24 — inexact in f32 for odd
+            # values — while int32 is exact to 2^31 (128 full chips).
+            # The merged counts ride back to the host BITCAST into their
+            # f32 lanes (value-preserving bit pattern; no arithmetic
+            # touches them until _absorb decodes — mesh_counts=True).
+            def psum_count_bits(x):
+                c = jax.lax.psum(x.astype(jnp.int32), axis)
+                return jax.lax.bitcast_convert_type(c, jnp.float32)[None]
+
             stats = jnp.concatenate([
-                jax.lax.psum(s[:5], axis),
+                psum_count_bits(s[0]),
+                jax.lax.psum(s[1:5], axis),
                 jax.lax.pmin(s[5], axis)[None],
                 jax.lax.pmax(s[6], axis)[None],
-                jax.lax.psum(s[7:], axis),
+                psum_count_bits(s[7]),
+                jax.lax.psum(s[8:], axis),
             ])
-            hist = jax.lax.psum(out[1], axis)
+            # histogram counts: same exactness argument — int32 psum
+            # (per-device cells are exact f32 integers <= 2^24)
+            hist = jax.lax.psum(out[1].astype(jnp.int32), axis)
             if keep_finals:
                 return stats, hist, out[2]
             return stats, hist
@@ -757,6 +780,17 @@ def simulate_stats(
                 "checkpoint_path is not supported with keep_final_values "
                 "(per-path buffers are not checkpointed)"
             )
+        if backend == "pallas":
+            from stock_market_monte_carlo_tpu.ops import pallas_engine
+
+            if pallas_engine.hist_ablate_mode():
+                # ablation variants compute intentionally wrong stats; a
+                # checkpoint written under the production fingerprint
+                # would silently corrupt a later clean resume
+                raise ValueError(
+                    "checkpointing is disabled while SMMC_HIST_ABLATE "
+                    "is set (roofline variants compute wrong statistics)"
+                )
         # The stream id covers exactly what changes the sampled bit stream:
         # backend (pallas hw-PRNG vs XLA threefry) and the effective Gaussian
         # sampler. Chunk size and device count are deliberately NOT included
@@ -867,6 +901,7 @@ def simulate_stats(
             total_stats, total_hist, done = _absorb(
                 pending, total_stats, total_hist, finals_parts,
                 keep_finals, stat_scale, shift_c,
+                mesh_counts=mesh is not None,
             )
             _maybe_checkpoint(
                 checkpoint_path, fingerprint, pending[3], done,
@@ -899,12 +934,12 @@ def simulate_stats(
             total_stats, total_hist, done = _absorb(
                 ((s_all[i], h_all[i]), d[1], d[2]), total_stats,
                 total_hist, finals_parts, keep_finals, stat_scale,
-                shift_c,
+                shift_c, mesh_counts=mesh is not None,
             )
     if pending is not None:  # None when a checkpoint was already complete
         total_stats, total_hist, done = _absorb(
             pending, total_stats, total_hist, finals_parts, keep_finals,
-            stat_scale, shift_c,
+            stat_scale, shift_c, mesh_counts=mesh is not None,
         )
         _maybe_checkpoint(
             checkpoint_path, fingerprint, pending[3], done,
@@ -953,9 +988,16 @@ def _maybe_checkpoint(path, fingerprint, next_offset, done, stats, hist):
 
 
 def _absorb(pending, total_stats, total_hist, finals_parts, keep_finals,
-            scale, shift=0.0):
+            scale, shift=0.0, mesh_counts=False):
     out, done_after, valid = pending[:3]
-    stats = np.asarray(out[0], np.float64)
+    raw = np.asarray(out[0], np.float32)
+    stats = raw.astype(np.float64)
+    if mesh_counts:
+        # mesh chunk fns psum the count rows in int32 and bitcast the
+        # exact totals into the f32 lanes (see device_fn) — decode here
+        counts = raw[np.array([0, 7])].copy().view(np.int32)
+        stats[0] = counts[0]
+        stats[7] = counts[1]
     if shift != 0.0:
         # the device accumulated moments of d = f - c; restore the raw
         # power sums of f in float64 (binomial expansion about c). The
@@ -1046,7 +1088,14 @@ def simulate_paths(
         )
     if dtype not in ("float32", "bfloat16"):
         raise ValueError(f"dtype must be float32|bfloat16, got {dtype!r}")
-    b = _round_up(n_paths, KEY_TILE)
+    # RNG streams are keyed per KEY_TILE-aligned tile (sample_growth), so
+    # the dispatch window aligns DOWN to the tile boundary and the first
+    # `lead` computed rows are dropped — path_offset may be arbitrary and
+    # rows [path_offset, path_offset + n_paths) of the global stream are
+    # returned exactly (tested against the slice of a from-zero call)
+    lead = int(path_offset) % KEY_TILE
+    base = int(path_offset) - lead
+    b = _round_up(lead + n_paths, KEY_TILE)
     root_key = jax.random.key(seed)
     scramble_key = jax.random.fold_in(root_key, 0x50B0)
     v0 = jnp.float32(initial_capital)
@@ -1057,16 +1106,23 @@ def simulate_paths(
         rows = min(chunk, b - off)
         parts.append(_paths_jit(
             model, strategy, root_key, scramble_key, v0,
-            jnp.uint32(path_offset + off), rows, n_periods, dtype,
+            jnp.uint32(base + off), rows, n_periods, dtype,
         ))
     # all chunks are dispatched (async) before any fetch: chunk k's
     # transfer rides under chunk k+1's compute
     out = np.empty((n_paths, n_periods + 1), np.float32)
     done = 0
+    skip = lead
     for part in parts:
-        take = min(part.shape[0], n_paths - done)
-        out[done:done + take] = np.asarray(part[:take], np.float32)
-        done += take
+        if skip >= part.shape[0]:
+            skip -= part.shape[0]
+            continue
+        p = part[skip:] if skip else part
+        skip = 0
+        take = min(p.shape[0], n_paths - done)
+        if take > 0:
+            out[done:done + take] = np.asarray(p[:take], np.float32)
+            done += take
     return out
 
 

@@ -340,6 +340,15 @@ def bootstrap_final_value_distribution(returns_pct, n_periods: int,
     convolution — the 2^15 default resolves quantiles to ~1e-6 relative.
     All table entries must satisfy 1 + r/100 > 0.
     """
+    p, y_lo, dy = _table_log_pmf(returns_pct, n_grid)
+    return _convolve_log_pmf(p, y_lo, dy, n_periods, initial_capital)
+
+
+def _table_log_pmf(returns_pct, n_grid: int):
+    """(p_mass, y_lo, dy): the table's 1/n log-growth point masses
+    deposited on a uniform y-grid with linear (mean-preserving)
+    splitting — shared by the terminal-law oracle and the per-month
+    marginal oracle so the deposition convention cannot diverge."""
     r = np.asarray(returns_pct, np.float64) * 0.01
     g = 1.0 + r
     if np.any(g <= 0):
@@ -358,7 +367,7 @@ def bootstrap_final_value_distribution(returns_pct, n_periods: int,
     w = 1.0 / len(y_i)
     np.add.at(p, i0, w * (1.0 - frac))
     np.add.at(p, i0 + 1, w * frac)
-    return _convolve_log_pmf(p, y_lo, dy, n_periods, initial_capital)
+    return p, y_lo, dy
 
 
 def marginal_value_quantiles(kind: str, params, n_periods: int,
@@ -386,25 +395,8 @@ def marginal_value_quantiles(kind: str, params, n_periods: int,
         y_lo = y[0]
         y_span = y[-1] - y[0]
     elif kind == "bootstrap":
-        r = np.asarray(params, np.float64) * 0.01
-        g = 1.0 + r
-        if np.any(g <= 0):
-            raise ValueError("table has a month with growth <= 0; "
-                             "log-growth undefined")
-        y_i = np.log(g)
-        y_lo, y_hi = y_i.min(), y_i.max()
-        pad = max((y_hi - y_lo) * 1e-3, 1e-9)
-        y_lo -= pad
-        y_hi += pad
-        dy = (y_hi - y_lo) / (n_grid - 1)
-        pos = (y_i - y_lo) / dy
-        i0 = np.floor(pos).astype(np.int64)
-        frac = pos - i0
-        p_mass = np.zeros(n_grid)
-        w = 1.0 / len(y_i)
-        np.add.at(p_mass, i0, w * (1.0 - frac))
-        np.add.at(p_mass, i0 + 1, w * frac)
-        y_span = y_hi - y_lo
+        p_mass, y_lo, dy = _table_log_pmf(params, n_grid)
+        y_span = dy * (n_grid - 1)
     else:
         raise ValueError(f"kind must be gaussian|bootstrap, got {kind!r}")
 

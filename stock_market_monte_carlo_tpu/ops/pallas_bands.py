@@ -58,6 +58,19 @@ LO_W = 32  # lanes of the factorized one-hot gemm
 import os
 
 _ABLATE = os.environ.get("SMMC_BANDS_ABLATE", "")
+if _ABLATE not in ("", "nocount", "nogemm", "nostore"):
+    raise ValueError(
+        "SMMC_BANDS_ABLATE must be one of nocount/nogemm/nostore (or "
+        f"unset), got {_ABLATE!r}"
+    )
+if _ABLATE:
+    import warnings
+
+    warnings.warn(
+        f"SMMC_BANDS_ABLATE={_ABLATE}: band kernels produce intentionally "
+        "WRONG counts (attribution timing variant)",
+        stacklevel=2,
+    )
 # indicator dtype for the factorized one-hot gemm: "i8" (default —
 # halves the bytes the per-month indicator relayout moves; measured
 # 482 vs 574 ms/chunk against the bf16 control in one batch,

@@ -223,7 +223,8 @@ def _kernel_bin_indices(values, mask, log_lo, inv_w, hb):
 
 def _build_kernel(kind: str, strategy_kind: str, n_periods: int,
                   n_table_chunks: int, rng_mode: str = "counter",
-                  sobol_deep: bool = False, with_hist: bool = True):
+                  sobol_deep: bool = False, with_hist: bool = True,
+                  ablate: str = ""):
     """Kernel specialized on (model kind, strategy kind, horizon).
 
     Ref layout (inputs then outputs):
@@ -333,16 +334,18 @@ def _build_kernel(kind: str, strategy_kind: str, n_periods: int,
                 val = jnp.where(chunk == c, g, val)
             return val
 
-        import os as _os
-
-        _hist_ablate = _os.environ.get("SMMC_HIST_ABLATE", "")
         # kernel-stage attribution for the roofline analysis
         # (experiments/exp_hist_roofline.py): "nosource" drops the
         # source-role chunk selection (always rows[0] — WRONG stats),
         # "nogather" drops the within-row gather, "drawonly" maps bits
         # straight to a growth factor, "nodraw" uses a constant growth.
         # Each variant is a fresh process+compile; results are invalid
-        # statistically and exist only for timing deltas.
+        # statistically and exist only for timing deltas. The value
+        # arrives as an explicit builder arg (read from SMMC_HIST_ABLATE
+        # at the pallas_chunk_stats call site) so it participates in the
+        # lru caches and a mid-process env change can never hand back a
+        # stale kernel under the wrong label.
+        _hist_ablate = ablate
 
         if is_hist and not is_sobol and rng_mode == "counter":
             # "Sliced rotation" bootstrap — recipe, exactness proof, and
@@ -659,7 +662,40 @@ def clt_prefix_impl() -> str:
     to refuse cross-implementation resume."""
     import os as _os2
 
-    return _os2.environ.get("SMMC_CLT_PREFIX", "mxu")
+    impl = _os2.environ.get("SMMC_CLT_PREFIX", "mxu")
+    if impl not in ("mxu", "roll"):
+        # an unrecognized value (typo, wrong case) must not silently
+        # select a fallback implementation with different withdrawn-total
+        # rounding under a mislabeled checkpoint tag
+        raise ValueError(
+            f"SMMC_CLT_PREFIX must be 'mxu' or 'roll', got {impl!r}"
+        )
+    return impl
+
+
+def hist_ablate_mode() -> str:
+    """The historical-kernel ablation mode from SMMC_HIST_ABLATE —
+    roofline-attribution variants that compute WRONG statistics
+    (experiments/exp_hist_roofline.py). Validated here, warned loudly,
+    and passed as an explicit builder arg so it keys every kernel cache;
+    engine.simulate_stats refuses to checkpoint while one is active."""
+    import os as _os3
+
+    mode = _os3.environ.get("SMMC_HIST_ABLATE", "")
+    if mode not in ("", "nodraw", "drawonly", "nosource", "nogather"):
+        raise ValueError(
+            "SMMC_HIST_ABLATE must be one of nodraw/drawonly/nosource/"
+            f"nogather (or unset), got {mode!r}"
+        )
+    if mode:
+        import warnings
+
+        warnings.warn(
+            f"SMMC_HIST_ABLATE={mode}: historical-kernel statistics are "
+            "intentionally WRONG (roofline timing variant)",
+            stacklevel=2,
+        )
+    return mode
 
 
 def _build_clt_kernel(n_periods: int, n_hist_total: int,
@@ -924,9 +960,9 @@ def _build_clt_call(n_periods: int, n_hist_total: int, ntiles: int,
 def _build_pallas_call(kind: str, strategy_kind: str, n_periods: int,
                        n_table_chunks: int, ntiles: int, interpret: bool,
                        rng_mode: str = "counter", sobol_deep: bool = False,
-                       with_hist: bool = True):
+                       with_hist: bool = True, ablate: str = ""):
     kernel = _build_kernel(kind, strategy_kind, n_periods, n_table_chunks,
-                           rng_mode, sobol_deep, with_hist)
+                           rng_mode, sobol_deep, with_hist, ablate)
     is_sobol = kind.startswith("sobol")
     is_hist = kind.endswith("historical")
     has_keep = strategy_kind in ("fixed_percent", "variable_percent")
@@ -1138,7 +1174,8 @@ def _build_law_call(ntiles: int, interpret, with_hist: bool):
 #   * accumulates the MXU histogram into a single (64,64) VMEM block that
 #     persists across grid steps (constant index_map, zeroed at pid == 0
 #     — the ops/pallas_bands.py pattern); counts are integers <= 2^24,
-#     exact in f32.
+#     exact in f32 BECAUSE chunk_paths is capped at 2^24 (config.py —
+#     a cell accumulates at most one chunk's worth of paths).
 # HBM output traffic per 2^24-path chunk: 104 MB -> 528 KB.
 
 LAW_GROUP = 16
@@ -1533,6 +1570,7 @@ def pallas_chunk_stats(model, strategy, root_key, scramble_key, v0,
     call = _build_pallas_call(
         kind, strategy_kind, n_periods, n_table_chunks, ntiles, interpret,
         getattr(model, "rng", "counter"), sobol_deep, mxu_hist,
+        ablate=hist_ablate_mode(),
     )
     outs = call(iscal, fscal, *operands)
     finals2d, partials = outs[0], outs[1]

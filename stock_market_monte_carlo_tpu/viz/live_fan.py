@@ -93,10 +93,16 @@ class LiveFanFigure:
             simulate_paths,
         )
 
+        # counter-based RNG: path_offset yields exactly the rows
+        # [curves_done, curves_done+k) of the drawing stream, so each
+        # frame computes and transfers ONLY its new curves (re-simulating
+        # from 0 and slicing would re-fetch every previously drawn row
+        # through the ~20-35 ms/round-trip tunnel each frame)
         traj = np.asarray(simulate_paths(
-            self.model, self.curves_done + k, self.n_periods,
+            self.model, k, self.n_periods,
             self.initial_capital, self.seed, self.strategy,
-        ))[self.curves_done:]
+            path_offset=self.curves_done,
+        ))
         self._ax.plot(traj.T, linewidth=0.7)
         self.curves_done += k
 

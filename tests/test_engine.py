@@ -430,6 +430,19 @@ def test_simulate_paths_bf16_transfer_and_chunked_fetch():
     np.testing.assert_allclose(bf, full, rtol=8e-3)  # bf16 has ~8 bits
 
 
+def test_simulate_paths_unaligned_offset():
+    """path_offset needs no KEY_TILE alignment: the dispatch window
+    aligns down to the RNG tile and drops the lead rows, so arbitrary
+    offsets return exactly the matching slice of the global stream (the
+    incremental live-fan consumer relies on this, viz/live_fan.py)."""
+    KEY_TILE = eng.KEY_TILE
+    t = 7
+    full = smmc.simulate_paths(GAUSS, KEY_TILE + 64, t, seed=11)
+    for off, k in [(20, 30), (KEY_TILE - 5, 40), (KEY_TILE + 3, 9)]:
+        part = smmc.simulate_paths(GAUSS, k, t, seed=11, path_offset=off)
+        np.testing.assert_array_equal(full[off:off + k], part)
+
+
 def test_analytic_moment_shift_edges():
     """Centering constant: exact multiplicative mean for gaussian and
     historical (with keep factors), zero for non-multiplicative
