@@ -456,9 +456,15 @@ def simulate_bands(
         if n_paths > per_dispatch:
             this_b = b
         else:
+            # bucket small runs to the next power of two — the engine's
+            # policy (engine.py small-run branch): distinct band-grid
+            # Mosaic compiles cost MINUTES each, padded tiles cost
+            # microseconds, so a sweep over small n_paths must reuse a
+            # handful of compiled shapes instead of one per value
             this_b = eng._round_up(
                 eng._round_up(valid, n_dev) // n_dev, tile
             )
+            this_b = min(b, 1 << (this_b - 1).bit_length())
         if mesh is not None:
             fn = _band_mesh_fn(
                 mesh, use_pallas, model.kind,

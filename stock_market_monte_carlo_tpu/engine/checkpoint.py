@@ -48,10 +48,17 @@ def config_fingerprint(model, strategy, n_paths, n_periods,
         "model_leaves": [
             _leaf_repr(leaf) for leaf in jax.tree_util.tree_leaves(model)
         ],
+        # treedef reprs carry the pytree AUX data — static fields like
+        # HistoricalBootstrap.rng and Sobol index_offset are meta_fields,
+        # invisible to tree_leaves, yet they change the sampled bit
+        # stream; omitting them let a checkpoint resume across different
+        # streams and silently mix partial sums
+        "model_treedef": repr(jax.tree_util.tree_structure(model)),
         "strategy_kind": strategy.kind,
         "strategy_leaves": [
             _leaf_repr(leaf) for leaf in jax.tree_util.tree_leaves(strategy)
         ],
+        "strategy_treedef": repr(jax.tree_util.tree_structure(strategy)),
         "n_paths": int(n_paths),
         "n_periods": int(n_periods),
         "initial_capital": float(initial_capital),

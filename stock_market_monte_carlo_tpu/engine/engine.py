@@ -56,6 +56,11 @@ from stock_market_monte_carlo_tpu.ops import reductions as red
 
 KEY_TILE = rng_ops.KEY_TILE
 
+# deferred-absorb queue bound: flush (one stacked fetch + f64 merges)
+# every N chunks so device memory stays O(N), not O(n_chunks) — a 1e12-
+# path run is ~60k chunks whose queued histograms would hold ~1 GB HBM
+_DEFER_FLUSH_CHUNKS = 256
+
 # ---------------------------------------------------------------------------
 # Host-side analytics used to place histogram bins.
 # ---------------------------------------------------------------------------
@@ -124,11 +129,22 @@ def make_histogram_spec(model, strategy, n_periods: int,
                         initial_capital: float,
                         n_bins: int) -> red.HistogramSpec:
     mu, sigma = log_growth_moments(model)
-    if isinstance(strategy, FixedPercentWithdrawal):
-        # clamp so percent == 100 (keep == 0, all finals exactly 0) still
-        # yields a valid log-spaced spec; the zeros land in the underflow bin
-        keep = max(1.0 - float(np.asarray(strategy.percent)) / 100.0, 1e-6)
-        mu += float(np.log(keep))
+    if isinstance(strategy, (FixedPercentWithdrawal,
+                             VariablePercentWithdrawal)):
+        # multiplicative strategies shift the final-value log-center by
+        # the MEAN per-month log-keep (exactly log(keep) for the fixed
+        # case — unchanged; for variable schedules omitting this pushed
+        # a sustained schedule's entire mass into the underflow bin).
+        # Clamp so percent == 100 (keep == 0, all finals exactly 0)
+        # still yields a valid log-spaced spec; zeros land in the
+        # underflow bin.
+        if isinstance(strategy, FixedPercentWithdrawal):
+            pct = np.float64(np.asarray(strategy.percent))
+        else:
+            pct = np.asarray(strategy.percent_schedule,
+                             np.float64)[:n_periods]
+        keep = np.clip(1.0 - pct / 100.0, 1e-6, None)
+        mu += float(np.mean(np.log(keep)))
     spec = red.default_histogram_spec(
         initial_capital, n_periods, mu, sigma, n_bins
     )
@@ -606,6 +622,28 @@ def _validate_run(model, n_paths: int, per_dispatch: int,
                 f"index_offset {index_offset} + n_paths {n_paths} exceeds "
                 "the 2^62 Sobol sequence (i8_sobol depth)"
             )
+    if isinstance(model, (GaussianReturns, SobolGaussianReturns)):
+        mean = float(np.asarray(model.mean_pct))
+        std = float(np.asarray(model.std_pct))
+        # growth (100+r)/100 goes NEGATIVE when r < -100: a loss of more
+        # than everything in one month. Multiplicative engines (none /
+        # percent strategies) propagate the sign through the product —
+        # the reference's unclamped update_fund semantics — which is
+        # almost surely not what a user with such a sigma wants. Warn
+        # when the per-draw probability is non-negligible (> ~1e-12,
+        # i.e. within 7 sigma).
+        if std > 0 and (100.0 + mean) / std < 7.0:
+            import warnings
+
+            warnings.warn(
+                f"GaussianReturns(mean={mean}, std={std}): monthly losses "
+                "beyond -100% are reachable (growth factor < 0, "
+                f"P ~ {0.5 * np.e ** (-0.5 * ((100 + mean) / std) ** 2):.1e}"
+                " per draw); multiplicative compounding propagates the "
+                "sign through the product (reference update_fund "
+                "semantics, src/simulations.cpp:14-16)",
+                stacklevel=3,
+            )
 
 
 def _xla_chunk_paths(n_periods: int, options: EngineOptions) -> int:
@@ -771,6 +809,25 @@ def simulate_stats(
                     and checkpoint_path is None and not keep_finals)
     deferred = []  # (arrays, paths_done_after, valid, offset_after)
 
+    def _flush_deferred():
+        # ONE tunnel round-trip per output kind for the queued chunks,
+        # then the identical sequential f64 merges (same order, same
+        # math as the per-chunk path — results are bit-identical to it)
+        nonlocal total_stats, total_hist, done
+        if not deferred:
+            return
+        s_all, h_all = jax.device_get((
+            jnp.stack([d[0][0] for d in deferred]),
+            jnp.stack([d[0][1] for d in deferred]),
+        ))
+        for i, d in enumerate(deferred):
+            total_stats, total_hist, done = _absorb(
+                ((s_all[i], h_all[i]), d[1], d[2]), total_stats,
+                total_hist, finals_parts, keep_finals, stat_scale,
+                shift_c, mesh_counts=mesh is not None,
+            )
+        deferred.clear()
+
     fingerprint = None
     if checkpoint_path is not None:
         from stock_market_monte_carlo_tpu.engine import checkpoint as ckpt
@@ -894,6 +951,13 @@ def simulate_stats(
             done += this_valid_total
             offset += b * n_dev
             remaining -= this_valid_total
+            if len(deferred) >= _DEFER_FLUSH_CHUNKS:
+                # bound the queue: each queued chunk holds a live
+                # (n_bins+2,) histogram on device, so an unbounded queue
+                # makes HBM (and the final stack) O(n_chunks) — at 256
+                # the flush round-trip amortizes to < 0.15 ms/chunk
+                # while device memory stays ~4 MB
+                _flush_deferred()
             continue
 
         # Overlap: fetch chunk k-1 while chunk k computes on device.
@@ -922,20 +986,7 @@ def simulate_stats(
         offset += b * n_dev
         remaining -= this_valid_total
 
-    if deferred:
-        # ONE tunnel round-trip per output kind for the whole run, then
-        # the identical sequential f64 merges (same order, same math as
-        # the per-chunk path — results are bit-identical to it).
-        s_all, h_all = jax.device_get((
-            jnp.stack([d[0][0] for d in deferred]),
-            jnp.stack([d[0][1] for d in deferred]),
-        ))
-        for i, d in enumerate(deferred):
-            total_stats, total_hist, done = _absorb(
-                ((s_all[i], h_all[i]), d[1], d[2]), total_stats,
-                total_hist, finals_parts, keep_finals, stat_scale,
-                shift_c, mesh_counts=mesh is not None,
-            )
+    _flush_deferred()
     if pending is not None:  # None when a checkpoint was already complete
         total_stats, total_hist, done = _absorb(
             pending, total_stats, total_hist, finals_parts, keep_finals,

@@ -144,6 +144,17 @@ def apply_month(strategy: WithdrawalStrategy, t, value, growth):
 
     ``value`` and ``growth`` are (paths,) or (paths_tile...) arrays; ``t`` is
     a traced scalar period index. Returns (new_value, withdrawn_amount).
+
+    Semantics note: the clamp matters only for FIXED-AMOUNT withdrawals
+    (a withdrawal can only take what is there; a depleted fund stays
+    depleted), and every engine applies it there. MULTIPLICATIVE
+    strategies (none / percent schedules) run as pure products in every
+    engine — XLA fast paths and all Pallas kernels alike — so a month
+    with growth <= 0 (a loss of 100% or more, reachable only for
+    Gaussian models with extreme sigma) propagates its sign through the
+    product exactly like the reference's unclamped ``update_fund``
+    (src/simulations.cpp:14-16). The engine warns when a model makes
+    such months non-negligible (engine._validate_run).
     """
     grown = value * growth
     a, b = strategy.affine_step(t, growth)

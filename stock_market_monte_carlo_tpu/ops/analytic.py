@@ -292,18 +292,9 @@ def quantiles_from_cdf(values, cdf, qs) -> "np.ndarray":
 def final_value_quantiles(mean_pct: float, std_pct: float, n_periods: int,
                           initial_capital: float,
                           qs: Sequence[float]) -> np.ndarray:
-    values, cdf = final_value_distribution(
+    return quantiles_from_cdf(*final_value_distribution(
         mean_pct, std_pct, n_periods, initial_capital
-    )
-    out = np.empty(len(qs))
-    logv = np.log(values)
-    for i, q in enumerate(qs):
-        j = int(np.searchsorted(cdf, q))
-        j = min(max(j, 1), len(cdf) - 1)
-        c0, c1 = cdf[j - 1], cdf[j]
-        frac = (q - c0) / (c1 - c0) if c1 > c0 else 0.5
-        out[i] = np.exp(logv[j - 1] + frac * (logv[j] - logv[j - 1]))
-    return out
+    ), qs)
 
 
 def final_value_moments(mean_pct: float, std_pct: float, n_periods: int,

@@ -152,7 +152,10 @@ def fit_terminal_law(model, strategy, n_periods: int,
     Typical fitted error at T >= 60: ~1e-5 (the float32 Clenshaw noise
     floor); the engine's parity tests pin it (tests/test_terminal_law.py).
     """
-    key = _law_cache_key(model, strategy, n_periods, initial_capital)
+    # tol is part of the key: a stricter-tol call must re-validate, not
+    # inherit a fit that only passed a looser bar
+    key = (_law_cache_key(model, strategy, n_periods, initial_capital),
+           float(tol))
     hit = _FIT_CACHE.get(key)
     if hit is not None:
         return hit
@@ -211,7 +214,11 @@ def fit_terminal_law(model, strategy, n_periods: int,
             "step function) — use the month-loop engine instead"
         )
 
-    nz = np.nonzero(np.abs(coefs32) > 1e-7 * max(abs(scale), 1.0))[0]
+    # degree threshold is relative to the (dimensionless, log-space)
+    # coefficient magnitudes — scale is in VALUE units and must not
+    # enter (at v0=1e9 it would zero out every genuine coefficient)
+    c_mag = float(np.max(np.abs(coefs32))) if coefs32.size else 0.0
+    nz = np.nonzero(np.abs(coefs32) > 1e-7 * max(c_mag, 1e-30))[0]
     degree = int(nz[-1]) if len(nz) else 0
     fit = TerminalLawFit(scale=scale, coefs=coefs32, max_err=max_err,
                          degree=degree)

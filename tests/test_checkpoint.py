@@ -174,3 +174,30 @@ def test_histogram_mode_fingerprint_guard(tmp_path):
             options=EngineOptions(chunk_paths=KEY_TILE, histogram=False),
             checkpoint_path=path,
         )
+
+
+def test_model_static_fields_fingerprinted(tmp_path):
+    """Pytree META fields change the sampled bit stream but are invisible
+    to tree_leaves: HistoricalBootstrap.rng and Sobol index_offset must
+    refuse cross-resume (they used to be omitted from the fingerprint,
+    silently mixing partial sums from two different streams)."""
+    import dataclasses
+
+    n, t = KEY_TILE, 4
+    h_counter = smmc.HistoricalBootstrap.from_csv()
+    h_reference = smmc.HistoricalBootstrap.from_csv(rng="reference")
+    path = str(tmp_path / "hist.ckpt.npz")
+    smmc.simulate_stats(h_counter, n, t, seed=1, options=OPTS,
+                        checkpoint_path=path)
+    with pytest.raises(ValueError, match="different run"):
+        smmc.simulate_stats(h_reference, n, t, seed=1, options=OPTS,
+                            checkpoint_path=path)
+
+    s0 = smmc.SobolGaussianReturns.create(n_periods=t)
+    s1 = dataclasses.replace(s0, index_offset=1 << 20)
+    spath = str(tmp_path / "sobol.ckpt.npz")
+    smmc.simulate_stats(s0, n, t, seed=1, options=OPTS,
+                        checkpoint_path=spath)
+    with pytest.raises(ValueError, match="different run"):
+        smmc.simulate_stats(s1, n, t, seed=1, options=OPTS,
+                            checkpoint_path=spath)

@@ -513,3 +513,31 @@ def test_degenerate_sizes():
                              target_amount=2000.0)
     assert r2.moments.n == n_prime
     assert r2.histogram_counts.sum() == n_prime
+
+
+def test_variable_percent_histogram_spec_centered():
+    """A sustained VariablePercentWithdrawal schedule shifts the
+    final-value mass by prod(keep); the histogram spec must follow it
+    (it used to shift only for FixedPercentWithdrawal, pushing ~all
+    variable-schedule mass into the underflow bin and degenerating
+    histogram quantiles)."""
+    import numpy as np
+
+    from stock_market_monte_carlo_tpu.models.strategies import (
+        VariablePercentWithdrawal,
+    )
+
+    t = 120
+    strat = VariablePercentWithdrawal(np.full(t, 3.0, np.float32))
+    res = smmc.run(GAUSS, eng.KEY_TILE, t, strategy=strat, seed=3)
+    hist = res.histogram_counts
+    # mass must land in interior bins, not the under/overflow cells
+    assert hist[1:-1].sum() > 0.99 * hist.sum()
+    # histogram quantiles must track the exact per-path quantiles
+    finals = smmc.simulate_final_values(GAUSS, eng.KEY_TILE, t,
+                                        strategy=strat, seed=3)
+    q_hist = res.quantiles([0.1, 0.5, 0.9])  # dict: q -> value
+    q_exact = np.quantile(finals, [0.1, 0.5, 0.9])
+    np.testing.assert_allclose(
+        [q_hist[q] for q in (0.1, 0.5, 0.9)], q_exact, rtol=0.02
+    )
