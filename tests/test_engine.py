@@ -541,3 +541,19 @@ def test_variable_percent_histogram_spec_centered():
     np.testing.assert_allclose(
         [q_hist[q] for q in (0.1, 0.5, 0.9)], q_exact, rtol=0.02
     )
+
+
+def test_deferred_flush_bound_identity(monkeypatch):
+    """The bounded deferred-absorb flush (every _DEFER_FLUSH_CHUNKS
+    dispatches — keeps device memory O(bound) instead of O(n_chunks))
+    must be invisible: forcing a tiny bound reproduces the unbounded
+    queue bit for bit."""
+    n, t = 5 * eng.KEY_TILE + 77, 12
+    opts = EngineOptions(chunk_paths=eng.KEY_TILE)
+    a = smmc.simulate_stats(GAUSS, n, t, seed=5, target_amount=1500.0,
+                            options=opts)  # one flush at the end
+    monkeypatch.setattr(eng, "_DEFER_FLUSH_CHUNKS", 2)
+    b = smmc.simulate_stats(GAUSS, n, t, seed=5, target_amount=1500.0,
+                            options=opts)  # three mid-run flushes
+    np.testing.assert_array_equal(a.histogram_counts, b.histogram_counts)
+    assert a.moments == b.moments
