@@ -104,6 +104,12 @@ int smmc_write_data_file(const char *path, const float *returns,
 int smmc_sobol_points(const uint32_t *direction, int dims, long long offset,
                       long long n, double *out) {
   if (dims <= 0 || n < 0 || offset < 0) return -1;
+  // a (dims, 32) table carries a 32-bit sequence: beyond 2^32 the gray
+  // fold would mix index bit 32 into state bit 31 and silently diverge
+  // from the Python/device 32-bit generator this function cross-checks
+  // (sobol.py truncates the index to uint32; the deep path needs the
+  // (dims, 64) table / smmc_sobol_bits64)
+  if (offset > 4294967296LL - n) return -1;
   const double scale = 1.0 / 4294967296.0;  // 2^-32
   // state for index `offset`: XOR of direction numbers over set bits of
   // gray(offset)

@@ -154,8 +154,12 @@ def benchmark_google(args):
         }
         for i, t in enumerate(runs)
     ]
+    # ddof=1: Google Benchmark's stddev aggregate is the SAMPLE std —
+    # consumers of GB-shaped files expect it (population std reads ~5%
+    # low at 10 repetitions)
     for agg, val in (("mean", np.mean(runs)), ("median", np.median(runs)),
-                     ("stddev", np.std(runs))):
+                     ("stddev",
+                      np.std(runs, ddof=1) if len(runs) > 1 else 0.0)):
         entries.append({
             "name": f"{name}_{agg}", "run_type": "aggregate",
             "aggregate_name": agg, "real_time": float(val),

@@ -277,8 +277,13 @@ def sobol_points_f32(direction, first_index, n: int, dims: int,
     """
     bits = sobol_bits_u32(direction, first_index, n, dims, scramble_key,
                           index_offset)
-    # u32 -> [0,1): same 2^-32 scale the reference kernels use.
-    return bits.astype(jnp.float32) * jnp.float32(2.3283064365386963e-10)
+    # u32 -> [0,1): same 2^-32 scale the reference kernels use. Words
+    # >= 2^32 - 128 round UP to exactly 1.0f in the u32->f32 convert
+    # (p ~ 3e-8 per draw — thousands of hits at 100M x 360), which would
+    # break the documented [0,1) contract; clamp to the largest f32
+    # below 1, as the f64 paths do (sobol_points_f64*).
+    pts = bits.astype(jnp.float32) * jnp.float32(2.3283064365386963e-10)
+    return jnp.minimum(pts, jnp.float32(1.0 - 2.0**-24))
 
 
 def sobol_bits_u32(direction, first_index, n: int, dims: int,

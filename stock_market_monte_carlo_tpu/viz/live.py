@@ -60,6 +60,20 @@ def trim_histogram(hist, spec):
     return interior[lo_b:hi_b], edges[lo_b:hi_b + 1]
 
 
+def downsample_histogram(counts, edges, target: int = 128):
+    """(counts_d, edges_d): k-group the bins down to <= ``target``
+    columns, PADDING the tail group rather than truncating it (dropping
+    it always lost the highest occupied bin, which is nonzero by
+    construction of trim_histogram). Shared by the interactive query
+    loop and the live-fan PNG renderer so the decimation rule cannot
+    drift between them."""
+    k = max(1, len(counts) // target)
+    pad = (-len(counts)) % k
+    counts_d = np.pad(counts, (0, pad)).reshape(-1, k).sum(axis=1)
+    edges_d = np.append(edges[::k][: len(counts_d)], edges[-1])
+    return counts_d, edges_d
+
+
 class LiveDashboard:
     """Terminal stream renderer: pass as ``stream=`` to the engine.
 
@@ -309,11 +323,7 @@ def live_visualize(n_months: int, n_simulations: int,
     if counts is None:
         counts = np.zeros((1,), np.float64)
         edges = res.histogram_spec.edges()[:2]
-    k = max(1, len(counts) // 128)
-    pad = (-len(counts)) % k
-    counts_p = np.pad(counts, (0, pad))
-    counts_d = counts_p.reshape(-1, k).sum(axis=1)
-    edges_d = np.append(edges[::k][: len(counts_d)], edges[-1])
+    counts_d, edges_d = downsample_histogram(counts, edges)
     normal_curve = None
     if overlay_normal:
         from stock_market_monte_carlo_tpu.ops.normal import normal_pdf

@@ -20,6 +20,7 @@ incremental batches identical to one big call.
 from __future__ import annotations
 
 import os
+import shutil
 import tempfile
 from typing import Optional
 
@@ -121,15 +122,15 @@ class LiveFanFigure:
         )
         self._add_curves(want - self.curves_done)
 
-        from stock_market_monte_carlo_tpu.viz.live import trim_histogram
+        from stock_market_monte_carlo_tpu.viz.live import (
+            downsample_histogram,
+            trim_histogram,
+        )
 
         self._axh.cla()
         counts, edges = trim_histogram(update.hist, update.spec)
         if counts is not None:
-            k = max(1, len(counts) // 128)
-            pad = (-len(counts)) % k
-            cd = np.pad(counts, (0, pad)).reshape(-1, k).sum(axis=1)
-            ed = np.append(edges[::k][: len(cd)], edges[-1])
+            cd, ed = downsample_histogram(counts, edges)
             centers = 0.5 * (ed[:-1] + ed[1:])
             self._axh.barh(centers, cd, height=np.diff(ed))
         if self.target is not None:
@@ -161,9 +162,13 @@ class LiveFanFigure:
             os.unlink(tmp)
             raise
         if self.frames_dir:
-            self._fig.savefig(
+            # the frame is byte-identical to the PNG just written — copy
+            # the file instead of paying a second full figure render
+            # inside the engine's synchronous stream callback
+            shutil.copyfile(
+                self.out_path,
                 os.path.join(self.frames_dir,
-                             f"frame_{self.frames:04d}.png")
+                             f"frame_{self.frames:04d}.png"),
             )
         self.frames += 1
 

@@ -51,7 +51,14 @@ def plot_returns_csv(csv_file: str, save: Optional[str] = None,
     plt.xlabel("Time (Months)")
     plt.ylabel("Monthly return")
     plt.tight_layout()
-    out2 = os.path.join(dirpth, "monthly_returns.png")
+    if save:
+        # honor --save for BOTH figures: the returns plot goes next to
+        # the user's chosen path, not next to the (possibly read-only)
+        # input CSV
+        base, ext = os.path.splitext(save)
+        out2 = f"{base}_returns{ext or '.png'}"
+    else:
+        out2 = os.path.join(dirpth, "monthly_returns.png")
     plt.savefig(out2)
     print(f"saved {out1} and {out2}")
     if show:
