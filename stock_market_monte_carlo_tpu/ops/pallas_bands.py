@@ -288,9 +288,65 @@ CDF_THRESHOLDS = 32        # default K (multiple of 8; rows of one block)
 # ~16 MB/core budget, leaving room for the table + working set)
 _CDF_VMEM_CAP = 8 << 20
 
+# count_month implementation (counts are bit-identical across all three;
+# perf attribution in docs/optimization_log.md v12/v18):
+#   "roll"    (default) — K sublane rotations of the (64,128) value tile
+#     against a reps-tiled threshold block: hits the 256-compare/month
+#     vreg floor with ZERO sublane broadcasts (the v12 kernel's unmodeled
+#     ~80 ms/chunk was the 64 per-row (1,128)->(K,128) relayouts)
+#   "rows"    — the v12 original: 64 per-row broadcast-compares
+#   "bcast3d" — one (64,K,128) compare + axis-0 reduce, Mosaic's choice
+_CDF_IMPL = os.environ.get("SMMC_BANDS_CDF_IMPL", "roll")
+if _CDF_IMPL not in ("roll", "rows", "bcast3d"):
+    raise ValueError(
+        "SMMC_BANDS_CDF_IMPL must be roll/rows/bcast3d, got "
+        f"{_CDF_IMPL!r}"
+    )
+
+
+def _counts_below_tile(tl, thr, n_thr: int, eff_impl: str):
+    """(n_thr, 128) int32 lane-partial counts of tl rows below each
+    threshold row; tl (TILE_ROWS, 128) f32, thr (n_thr, 128) f32.
+
+    All three implementations produce bit-identical counts (integer sums,
+    reassociated only); full-entropy identity is pinned by
+    tests/test_bands.py::test_counts_below_tile_impl_identity (plain
+    interpret mode, random inputs — the zero-bits PRNG stub of the
+    engine-level CPU tests would mask row-permutation bugs here).
+    """
+    if eff_impl == "roll":
+        # Count below via TILE_ROWS-preserving sublane rotations: row r
+        # of the rotated tile is tl[(r + s) % 64], compared against a
+        # reps-tiled threshold block, so accumulator row r sums
+        # [tl[r+s] < thr[r % K]] over s = 0..K-1; folding the reps
+        # row-groups then covers every tl row exactly once. Same 256
+        # compare-vregs/month as "rows" but zero sublane broadcasts
+        # (the v12 relayout tax).
+        reps = TILE_ROWS // n_thr
+        thr2 = jnp.concatenate([thr] * reps, axis=0)
+        acc2 = (tl < thr2).astype(jnp.int32)
+        for s in range(1, n_thr):
+            rolled = pltpu.roll(tl, TILE_ROWS - s, 0)
+            acc2 = acc2 + (rolled < thr2).astype(jnp.int32)
+        acc = acc2[0:n_thr]
+        for j in range(1, reps):
+            acc = acc + acc2[j * n_thr:(j + 1) * n_thr]
+        return acc
+    if eff_impl == "bcast3d":
+        # one (64, K, 128) compare + axis-0 reduce; Mosaic picks the
+        # layout/reduction tree
+        return jnp.sum(
+            (tl[:, None, :] < thr[None, :, :]).astype(jnp.int32), axis=0
+        )
+    acc = jnp.zeros((n_thr, 128), jnp.int32)
+    for r in range(TILE_ROWS):
+        acc = acc + (tl[r:r + 1, :] < thr).astype(jnp.int32)
+    return acc
+
 
 def _build_cdf_kernel(kind: str, strategy_kind: str, n_periods: int,
-                      n_table_chunks: int, n_thr: int):
+                      n_table_chunks: int, n_thr: int,
+                      impl: str = None):
     """Kernel over tiles of TILE_PATHS paths; one grid step per tile.
 
     Ref layout matches _build_bands_kernel except:
@@ -366,14 +422,19 @@ def _build_cdf_kernel(kind: str, strategy_kind: str, n_periods: int,
         kk = jnp.where(kio == 0, fscal[3], kk)
         kk = jnp.where(kio == n_thr - 1, fscal[4], kk)
 
+        # the roll scheme needs the K threshold rows to tile TILE_ROWS
+        # exactly; K = 8/16/32/64 all qualify (cdf_supported guarantees
+        # K % 8 == 0 but not divisibility, e.g. K = 40 falls back)
+        eff_impl = impl or _CDF_IMPL
+        if eff_impl == "roll" and TILE_ROWS % n_thr != 0:
+            eff_impl = "rows"
+
         def count_month(t, tc, total):
             live = jnp.logical_and(mask, t < n_periods)
             # dead lanes/months to +inf: never below any finite threshold
             tl = jnp.where(live, total, jnp.float32(np.inf))
             thr = jnp.exp(ab_ref[tc, 0] + kk * ab_ref[tc, 1])
-            acc = jnp.zeros((n_thr, 128), jnp.int32)
-            for r in range(TILE_ROWS):
-                acc = acc + (tl[r:r + 1, :] < thr).astype(jnp.int32)
+            acc = _counts_below_tile(tl, thr, n_thr, eff_impl)
             base = tc * n_thr
             mcdf_ref[pl.ds(base, n_thr), :] = (
                 mcdf_ref[pl.ds(base, n_thr), :] + acc
@@ -403,9 +464,9 @@ def _build_cdf_kernel(kind: str, strategy_kind: str, n_periods: int,
 @lru_cache(maxsize=16)
 def _build_cdf_call(kind: str, strategy_kind: str, n_periods: int,
                     n_table_chunks: int, n_thr: int, ntiles: int,
-                    interpret):
+                    interpret, impl: str = None):
     kernel = _build_cdf_kernel(kind, strategy_kind, n_periods,
-                               n_table_chunks, n_thr)
+                               n_table_chunks, n_thr, impl)
     in_specs = [
         pl.BlockSpec(memory_space=pltpu.SMEM),  # iscal
         pl.BlockSpec(memory_space=pltpu.SMEM),  # fscal
@@ -445,7 +506,7 @@ def cdf_supported(model, strategy_kind: str, n_periods: int,
 def pallas_chunk_month_cdf(model, strategy, root_key, v0, path_offset,
                            valid, coef_a, coef_b, kappa_lo, kappa_hi, *,
                            n_periods, chunk_shape_b, n_thresholds,
-                           keep=None):
+                           keep=None, impl=None):
     """(T, K) int32 counts-below for months 1..T of one chunk.
 
     ``coef_a``/``coef_b``: (T,) per-month log-threshold coefficients with
@@ -497,7 +558,7 @@ def pallas_chunk_month_cdf(model, strategy, root_key, v0, path_offset,
     strategy_kind = strategy.kind if keep is not None else "none"
     call = _build_cdf_call(
         model.kind, strategy_kind, n_periods, n_table_chunks,
-        n_thresholds, ntiles, interpret,
+        n_thresholds, ntiles, interpret, impl,
     )
     mcdf = call(iscal, fscal, ab, *operands)
     return mcdf.reshape(n_periods, n_thresholds, 128).sum(axis=2)

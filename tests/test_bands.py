@@ -433,3 +433,65 @@ def test_analytic_bands_historical_and_rejections():
         smmc.simulate_bands(
             smmc.SobolGaussianReturns.create(n_periods=t), 1, t,
             band_mode="analytic")
+
+
+def test_counts_below_tile_impl_identity():
+    """Full-entropy identity of the three CDF count_month implementations
+    (roll / rows / bcast3d) against a numpy oracle, via a standalone
+    pallas_call in plain interpret mode. The engine-level CPU tests run
+    the hardware-PRNG kernels under the zero-bits interpreter stub, where
+    every lane is equal and a row-permutation bug (exactly what the roll
+    scheme risks) would be invisible — this drives real random inputs.
+    Hardware coverage: test_tpu_only.py::test_cdf_bands_parity_vs_hist
+    counts the identical sample as hist mode."""
+    import jax
+    import jax.numpy as jnp
+    from jax.experimental import pallas as pl
+
+    from stock_market_monte_carlo_tpu.ops import pallas_bands as pb
+    from stock_market_monte_carlo_tpu.ops.pallas_engine import TILE_ROWS
+
+    rng = np.random.default_rng(11)
+    tl = np.exp(rng.normal(size=(TILE_ROWS, 128)).astype(np.float32))
+    # a few exact collisions with thresholds to pin the strict-< edge
+    for n_thr in (8, 32, 64):
+        thr = np.exp(
+            rng.normal(size=(n_thr, 1)).astype(np.float32)
+        ) * np.ones((1, 128), np.float32)
+        thr[n_thr // 2, :] = tl[3, :]  # ties: strictly-below excludes
+        oracle = (tl[:, None, :] < thr[None, :, :]).sum(0).astype(np.int32)
+        for impl in ("roll", "rows", "bcast3d"):
+            def kernel(tl_ref, thr_ref, out_ref, impl=impl):
+                out_ref[:] = pb._counts_below_tile(
+                    tl_ref[:], thr_ref[:], n_thr, impl)
+
+            out = pl.pallas_call(
+                kernel,
+                out_shape=jax.ShapeDtypeStruct((n_thr, 128), jnp.int32),
+                interpret=True,
+            )(jnp.asarray(tl), jnp.asarray(thr))
+            np.testing.assert_array_equal(np.asarray(out), oracle,
+                                          err_msg=f"{impl} K={n_thr}")
+
+
+def test_cdf_bands_impl_identity_end_to_end():
+    """The full CDF band kernel produces identical counts under all three
+    count_month implementations (zero-bits interpreter: composition-level
+    identity; full-entropy identity is the test above + hardware)."""
+    import jax
+
+    from stock_market_monte_carlo_tpu.ops import pallas_bands as pb
+
+    key = jax.random.PRNGKey(7)
+    h = smmc.HistoricalBootstrap.from_csv()
+    coef_a = np.linspace(-2.0, 1.0, 6).astype(np.float32)
+    coef_b = np.full(6, 0.13, np.float32)
+    outs = {
+        impl: np.asarray(pb.pallas_chunk_month_cdf(
+            h, None, key, 1000.0, 0, KEY_TILE + 300, coef_a, coef_b,
+            -3.5, 34.5, n_periods=6, chunk_shape_b=2 * KEY_TILE,
+            n_thresholds=32, impl=impl))
+        for impl in ("roll", "rows", "bcast3d")
+    }
+    np.testing.assert_array_equal(outs["roll"], outs["rows"])
+    np.testing.assert_array_equal(outs["bcast3d"], outs["rows"])
