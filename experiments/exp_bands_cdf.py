@@ -8,7 +8,12 @@ relayout, no gemm, no per-month log — the structural ~2x candidate.
 This measures both modes (same streams, same sample) with a warm-up
 process and a fresh timed process per variant.
 
-Usage: python experiments/exp_bands_cdf.py [report|run <hist|cdf>]
+Counting-impl A/B (optimization_log v18): `run cdf-roll` / `cdf-rows` /
+`cdf-bcast3d` pin SMMC_BANDS_CDF_IMPL for the subprocess; `report impl`
+sweeps the three against each other (bit-identical counts, so the only
+signal is time).
+
+Usage: python experiments/exp_bands_cdf.py [report [impl]|run <variant>]
 """
 
 import os
@@ -21,8 +26,11 @@ sys.path.insert(0, REPO)
 N_PATHS = 1 << 25   # 2 chunks of 2^24
 T = 360
 
+VARIANTS = ("hist", "cdf", "cdf-roll", "cdf-rows", "cdf-bcast3d")
 
-def run(mode: str):
+
+def run(variant: str):
+    mode = "hist" if variant == "hist" else "cdf"
     import stock_market_monte_carlo_tpu as smmc
     from stock_market_monte_carlo_tpu.config import EngineOptions
 
@@ -39,29 +47,38 @@ def run(mode: str):
         _ = float(b.values[0, -1])
         best = min(best, time.perf_counter() - t0)
     per_chunk_ms = best / (N_PATHS / (1 << 24)) * 1e3
-    print(f"BANDS mode={mode}: best {best:.4f}s "
+    print(f"BANDS variant={variant}: best {best:.4f}s "
           f"({per_chunk_ms:.1f} ms / 2^24 chunk) "
           f"p50 final {b.band(0.5)[-1]:,.2f}")
 
 
-def report():
+def report(variants):
     env = dict(os.environ)
     env["PYTHONPATH"] = REPO + os.pathsep + env.get("PYTHONPATH", "")
-    for mode in ("hist", "cdf"):
+    for variant in variants:
+        venv = dict(env)
+        if variant.startswith("cdf-"):
+            venv["SMMC_BANDS_CDF_IMPL"] = variant[len("cdf-"):]
         for phase in ("warm-up (compile; IGNORE timing)", "timed"):
-            print(f"--- bands mode={mode}: {phase} ---", flush=True)
+            print(f"--- bands variant={variant}: {phase} ---", flush=True)
             subprocess.run(
-                [sys.executable, os.path.abspath(__file__), "run", mode],
-                env=env, check=False, cwd=REPO,
+                [sys.executable, os.path.abspath(__file__), "run",
+                 variant],
+                env=venv, check=False, cwd=REPO,
             )
 
 
 if __name__ == "__main__":
     if len(sys.argv) > 1 and sys.argv[1] == "run":
-        if len(sys.argv) < 3:
-            sys.exit("usage: exp_bands_cdf.py run <hist|cdf>")
+        if len(sys.argv) < 3 or sys.argv[2] not in VARIANTS:
+            sys.exit(f"usage: exp_bands_cdf.py run <{'|'.join(VARIANTS)}>")
         run(sys.argv[2])
-    elif len(sys.argv) > 1 and sys.argv[1] != "report":
-        sys.exit("usage: exp_bands_cdf.py [report|run <hist|cdf>]")
+    elif len(sys.argv) > 1 and sys.argv[1] == "report":
+        if len(sys.argv) > 2 and sys.argv[2] == "impl":
+            report(("cdf-roll", "cdf-rows", "cdf-bcast3d"))
+        else:
+            report(("hist", "cdf"))
+    elif len(sys.argv) > 1:
+        sys.exit("usage: exp_bands_cdf.py [report [impl]|run <variant>]")
     else:
-        report()
+        report(("hist", "cdf"))

@@ -289,14 +289,16 @@ CDF_THRESHOLDS = 32        # default K (multiple of 8; rows of one block)
 _CDF_VMEM_CAP = 8 << 20
 
 # count_month implementation (counts are bit-identical across all three;
-# perf attribution in docs/optimization_log.md v12/v18):
-#   "roll"    (default) — K sublane rotations of the (64,128) value tile
-#     against a reps-tiled threshold block: hits the 256-compare/month
-#     vreg floor with ZERO sublane broadcasts (the v12 kernel's unmodeled
-#     ~80 ms/chunk was the 64 per-row (1,128)->(K,128) relayouts)
-#   "rows"    — the v12 original: 64 per-row broadcast-compares
+# measured A/B in docs/optimization_log.md v18 — "rows" wins):
+#   "rows"    (default) — the v12 original: 64 per-row broadcast-compares
+#     (292 ms / 2^24 chunk; the v12 "~80 ms relayout tax" hypothesis was
+#     WRONG — the per-row (1,128)->(K,128) broadcasts are cheap)
+#   "roll"    — K sublane rotations of the (64,128) value tile against a
+#     reps-tiled threshold block: zero sublane broadcasts but the
+#     rotations themselves cost more than the broadcasts (333 ms)
 #   "bcast3d" — one (64,K,128) compare + axis-0 reduce, Mosaic's choice
-_CDF_IMPL = os.environ.get("SMMC_BANDS_CDF_IMPL", "roll")
+#     (296 ms, within noise of rows)
+_CDF_IMPL = os.environ.get("SMMC_BANDS_CDF_IMPL", "rows")
 if _CDF_IMPL not in ("roll", "rows", "bcast3d"):
     raise ValueError(
         "SMMC_BANDS_CDF_IMPL must be roll/rows/bcast3d, got "
