@@ -31,6 +31,11 @@ VARIANTS = ("hist", "cdf", "cdf-roll", "cdf-rows", "cdf-bcast3d")
 
 def run(variant: str):
     mode = "hist" if variant == "hist" else "cdf"
+    # pin the counting impl BEFORE the import reads it, so direct
+    # `run cdf-roll` invocations measure what their label says (report()
+    # also pins it for the subprocess; plain "cdf" measures the default)
+    if variant.startswith("cdf-"):
+        os.environ["SMMC_BANDS_CDF_IMPL"] = variant[len("cdf-"):]
     import stock_market_monte_carlo_tpu as smmc
     from stock_market_monte_carlo_tpu.config import EngineOptions
 
@@ -57,6 +62,8 @@ def report(variants):
     env["PYTHONPATH"] = REPO + os.pathsep + env.get("PYTHONPATH", "")
     for variant in variants:
         venv = dict(env)
+        # a stray exported knob must not silently change the baseline
+        venv.pop("SMMC_BANDS_CDF_IMPL", None)
         if variant.startswith("cdf-"):
             venv["SMMC_BANDS_CDF_IMPL"] = variant[len("cdf-"):]
         for phase in ("warm-up (compile; IGNORE timing)", "timed"):
@@ -74,10 +81,14 @@ if __name__ == "__main__":
             sys.exit(f"usage: exp_bands_cdf.py run <{'|'.join(VARIANTS)}>")
         run(sys.argv[2])
     elif len(sys.argv) > 1 and sys.argv[1] == "report":
-        if len(sys.argv) > 2 and sys.argv[2] == "impl":
+        if len(sys.argv) == 2:
+            report(("hist", "cdf"))
+        elif sys.argv[2:] == ["impl"]:
             report(("cdf-roll", "cdf-rows", "cdf-bcast3d"))
         else:
-            report(("hist", "cdf"))
+            # unknown modifiers must not silently burn a 4-phase TPU
+            # sweep measuring the wrong thing
+            sys.exit("usage: exp_bands_cdf.py report [impl]")
     elif len(sys.argv) > 1:
         sys.exit("usage: exp_bands_cdf.py [report [impl]|run <variant>]")
     else:

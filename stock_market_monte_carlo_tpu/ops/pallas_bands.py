@@ -346,9 +346,26 @@ def _counts_below_tile(tl, thr, n_thr: int, eff_impl: str):
     return acc
 
 
+def _resolve_cdf_impl(impl, n_thr: int) -> str:
+    """Resolve/validate the count_month impl once, at the entry point:
+    None -> the env default; "roll" needs the K threshold rows to tile
+    TILE_ROWS exactly (K = 8/16/32/64 qualify; cdf_supported guarantees
+    K % 8 == 0 but not divisibility, e.g. K = 40 falls back to rows).
+    Resolving before the _build_cdf_call lru_cache lookup keeps one cache
+    entry per distinct kernel and rejects typo'd impl names that the
+    kernel's dispatch would otherwise silently map to "rows"."""
+    eff = impl or _CDF_IMPL
+    if eff not in ("roll", "rows", "bcast3d"):
+        raise ValueError(
+            f"cdf count impl must be roll/rows/bcast3d, got {eff!r}"
+        )
+    if eff == "roll" and TILE_ROWS % n_thr != 0:
+        eff = "rows"
+    return eff
+
+
 def _build_cdf_kernel(kind: str, strategy_kind: str, n_periods: int,
-                      n_table_chunks: int, n_thr: int,
-                      impl: str = None):
+                      n_table_chunks: int, n_thr: int, impl: str):
     """Kernel over tiles of TILE_PATHS paths; one grid step per tile.
 
     Ref layout matches _build_bands_kernel except:
@@ -424,19 +441,12 @@ def _build_cdf_kernel(kind: str, strategy_kind: str, n_periods: int,
         kk = jnp.where(kio == 0, fscal[3], kk)
         kk = jnp.where(kio == n_thr - 1, fscal[4], kk)
 
-        # the roll scheme needs the K threshold rows to tile TILE_ROWS
-        # exactly; K = 8/16/32/64 all qualify (cdf_supported guarantees
-        # K % 8 == 0 but not divisibility, e.g. K = 40 falls back)
-        eff_impl = impl or _CDF_IMPL
-        if eff_impl == "roll" and TILE_ROWS % n_thr != 0:
-            eff_impl = "rows"
-
         def count_month(t, tc, total):
             live = jnp.logical_and(mask, t < n_periods)
             # dead lanes/months to +inf: never below any finite threshold
             tl = jnp.where(live, total, jnp.float32(np.inf))
             thr = jnp.exp(ab_ref[tc, 0] + kk * ab_ref[tc, 1])
-            acc = _counts_below_tile(tl, thr, n_thr, eff_impl)
+            acc = _counts_below_tile(tl, thr, n_thr, impl)
             base = tc * n_thr
             mcdf_ref[pl.ds(base, n_thr), :] = (
                 mcdf_ref[pl.ds(base, n_thr), :] + acc
@@ -466,7 +476,7 @@ def _build_cdf_kernel(kind: str, strategy_kind: str, n_periods: int,
 @lru_cache(maxsize=16)
 def _build_cdf_call(kind: str, strategy_kind: str, n_periods: int,
                     n_table_chunks: int, n_thr: int, ntiles: int,
-                    interpret, impl: str = None):
+                    interpret, impl: str):
     kernel = _build_cdf_kernel(kind, strategy_kind, n_periods,
                                n_table_chunks, n_thr, impl)
     in_specs = [
@@ -560,7 +570,8 @@ def pallas_chunk_month_cdf(model, strategy, root_key, v0, path_offset,
     strategy_kind = strategy.kind if keep is not None else "none"
     call = _build_cdf_call(
         model.kind, strategy_kind, n_periods, n_table_chunks,
-        n_thresholds, ntiles, interpret, impl,
+        n_thresholds, ntiles, interpret,
+        _resolve_cdf_impl(impl, n_thresholds),
     )
     mcdf = call(iscal, fscal, ab, *operands)
     return mcdf.reshape(n_periods, n_thresholds, 128).sum(axis=2)
