@@ -93,8 +93,9 @@ class EngineOptions:
     # track_withdrawn=False — per-path withdrawn totals are
     # path-dependent and cannot be sampled from the terminal law).
     # Streams are NOT samplewise-comparable to the month-loop engines.
-    # The reference has no analog; bench.py keeps the month-loop kernel
-    # as the like-for-like headline and reports this as an extra.
+    # The reference has no analog; bench.py headlines this sampler (the
+    # framework's fastest exact answer to the reference benchmark task)
+    # and keeps the month-loop kernels' like-for-like ratios in extra.
     terminal_law: bool = False
     # (A "hist-clt" cumulant-matched approximate bootstrap sampler was
     # built and measured at 1e9 paths in round 3, then REMOVED: the
