@@ -51,6 +51,7 @@ from stock_market_monte_carlo_tpu.models.strategies import (
     VariablePercentWithdrawal,
     apply_month,
 )
+from stock_market_monte_carlo_tpu.ops import histogram as hist_ops
 from stock_market_monte_carlo_tpu.ops import rng as rng_ops
 from stock_market_monte_carlo_tpu.ops import reductions as red
 
@@ -205,8 +206,18 @@ def _keep_factors(strategy, n_periods: int):
     if isinstance(strategy, FixedPercentWithdrawal):
         keep = 1.0 - jnp.asarray(strategy.percent, jnp.float32) / 100.0
         return jnp.full((n_periods,), 1.0, jnp.float32) * keep
-    sched = jnp.asarray(strategy.percent_schedule, jnp.float32)[:n_periods]
-    return 1.0 - sched / 100.0
+    sched = jnp.asarray(strategy.percent_schedule, jnp.float32)
+    if sched.shape[0] < n_periods:
+        # the class contract (strategies.VariablePercentWithdrawal):
+        # schedules shorter than the horizon are an error, never a
+        # silent keep=1.0 fill — the month-loop engines fail on the
+        # shape mismatch, and the terminal-law path takes this slice
+        raise ValueError(
+            f"percent_schedule has {sched.shape[0]} entries but the run "
+            f"has n_periods={n_periods}; provide a schedule covering "
+            "every period"
+        )
+    return 1.0 - sched[:n_periods] / 100.0
 
 
 def compound_final(growth, v0, strategy):
@@ -354,10 +365,10 @@ def chunk_stats(model, strategy, root_key, scramble_key, v0, path_offset,
     if with_hist:
         idx = spec.bin_index(finals)
         idx = jnp.where(mask, idx, spec.n_bins + 2)  # padding -> discard
-        hist = jax.ops.segment_sum(
-            jnp.ones_like(idx, jnp.float32), idx,
-            num_segments=spec.n_bins + 3,
-        )[: spec.n_bins + 2]
+        # MXU matmul histogram on TPU, segment_sum on CPU; counts are
+        # integer sums < 2^24/chunk, exact in f32 either way, so the
+        # backend choice cannot change results
+        hist = hist_ops.histogram_counts(idx, spec.n_bins + 2)
     else:
         hist = jnp.zeros((spec.n_bins + 2,), jnp.float32)
 
@@ -576,10 +587,13 @@ def _validate_terminal_law(model, strategy, options) -> None:
 
 
 def _validate_run(model, n_paths: int, per_dispatch: int,
-                  n_periods: int) -> None:
+                  n_periods: int, draws_bootstrap: bool = True) -> None:
     """Hard limits of the RNG index spaces — oversized runs must error, not
     silently wrap (global path offsets are uint32; the Sobol sequence index
-    is 32-bit: ops/sobol.py)."""
+    is 32-bit: ops/sobol.py). ``draws_bootstrap=False`` skips the
+    bootstrap-table row limit for paths that never run the umulhi index
+    map (the terminal-law sampler only draws normals through the fitted
+    quantile function; its FFT oracle handles any table size)."""
     if n_paths <= 0:
         raise ValueError(f"n_paths must be positive, got {n_paths}")
     if n_periods <= 0:
@@ -590,7 +604,7 @@ def _validate_run(model, n_paths: int, per_dispatch: int,
             f"(limit {(1 << 32) - per_dispatch} at this chunk size); split "
             "the run over multiple seeds instead"
         )
-    if model.kind.endswith("historical"):
+    if model.kind.endswith("historical") and draws_bootstrap:
         n_table = int(np.asarray(model.returns_pct).shape[0])
         if n_table >= (1 << 15):
             raise ValueError(
@@ -747,7 +761,8 @@ def simulate_stats(
     n_dev = 1 if mesh is None else mesh.size
     # chunk_b below never exceeds options.chunk_paths, so this bound is
     # conservative for the uint32 offset-headroom check
-    _validate_run(model, n_paths, options.chunk_paths * n_dev, n_periods)
+    _validate_run(model, n_paths, options.chunk_paths * n_dev, n_periods,
+                  draws_bootstrap=not options.terminal_law)
     v0f = float(initial_capital)
     if not (v0f > 0.0 and np.isfinite(v0f)):
         raise ValueError(
@@ -756,6 +771,17 @@ def simulate_stats(
         )
     keep_finals = (options.keep_final_values
                    if keep_final_values is None else keep_final_values)
+    if keep_finals and 4 * n_paths > 8 << 30:
+        # mirror simulate_paths' up-front host-memory guard: finals are
+        # streamed into host parts and concatenated at the end, so a
+        # multi-billion-path keep_finals run would otherwise compute for
+        # minutes and then die in np.concatenate
+        raise ValueError(
+            f"keep_final_values at n_paths={n_paths} would materialize "
+            f"~{4 * n_paths / 2**30:.0f} GiB of finals on the host; use "
+            "the fused statistics/histogram (exact quantiles come from "
+            "the 4096-bin histogram) or split the run"
+        )
     spec = make_histogram_spec(
         model, strategy, n_periods, initial_capital, options.histogram_bins
     )

@@ -122,7 +122,10 @@ def _qlog_of_z(values: np.ndarray, cdf: np.ndarray,
 _FIT_CACHE: dict = {}
 
 
-def _law_cache_key(model, strategy, n_periods: int, v0: float):
+def _law_cache_key(model, keep, n_periods: int, v0: float):
+    """``keep``: the strategy's (T,) float64 keep factors, or None for
+    no-withdrawal — computed ONCE by fit_terminal_law and shared between
+    this key and the log-shift so the two can never diverge."""
     kind = model.kind
     if kind == "gaussian":
         params = (float(np.asarray(model.mean_pct)),
@@ -130,13 +133,8 @@ def _law_cache_key(model, strategy, n_periods: int, v0: float):
     else:
         tbl = np.asarray(model.returns_pct, np.float64)
         params = hashlib.sha256(tbl.tobytes()).hexdigest()
-    if strategy.kind == "none":
-        keep_key = None
-    else:
-        from stock_market_monte_carlo_tpu.engine.engine import _keep_factors
-
-        keep = np.asarray(_keep_factors(strategy, n_periods), np.float64)
-        keep_key = hashlib.sha256(keep.tobytes()).hexdigest()
+    keep_key = (None if keep is None
+                else hashlib.sha256(keep.tobytes()).hexdigest())
     return (kind, params, int(n_periods), float(v0), keep_key)
 
 
@@ -152,19 +150,22 @@ def fit_terminal_law(model, strategy, n_periods: int,
     Typical fitted error at T >= 60: ~1e-5 (the float32 Clenshaw noise
     floor); the engine's parity tests pin it (tests/test_terminal_law.py).
     """
+    keep = None
+    if strategy.kind != "none":
+        from stock_market_monte_carlo_tpu.engine.engine import _keep_factors
+
+        keep = np.asarray(_keep_factors(strategy, n_periods), np.float64)
+
     # tol is part of the key: a stricter-tol call must re-validate, not
     # inherit a fit that only passed a looser bar
-    key = (_law_cache_key(model, strategy, n_periods, initial_capital),
+    key = (_law_cache_key(model, keep, n_periods, initial_capital),
            float(tol))
     hit = _FIT_CACHE.get(key)
     if hit is not None:
         return hit
 
     log_shift = 0.0
-    if strategy.kind != "none":
-        from stock_market_monte_carlo_tpu.engine.engine import _keep_factors
-
-        keep = np.asarray(_keep_factors(strategy, n_periods), np.float64)
+    if keep is not None:
         if np.any(keep <= 0.0):
             raise ValueError(
                 "terminal_law needs keep fractions > 0 every month "
@@ -185,7 +186,7 @@ def fit_terminal_law(model, strategy, n_periods: int,
             int(n_periods), float(initial_capital),
         )
 
-    # Chebyshev-Lobatto nodes over the full fit domain (4x oversampled
+    # Chebyshev-Lobatto nodes over the full fit domain (8x oversampled
     # least squares at degree LAW_D-1 — well-conditioned at these sizes)
     n_nodes = 8 * LAW_D
     zs = LAW_ZMAX * np.cos(np.pi * np.arange(n_nodes) / (n_nodes - 1))
@@ -200,9 +201,13 @@ def fit_terminal_law(model, strategy, n_periods: int,
     coefs32 = coef.astype(np.float32)
 
     # validate the exact float32 device arithmetic against the oracle on
-    # the reachable draw domain
+    # the reachable draw domain. The device computes
+    # s = f32(z) * f32(1/LAW_ZMAX) (engine._law_finals_xla and both
+    # Pallas kernels) — replicate that exactly rather than the
+    # up-to-1-ulp-different (z / LAW_ZMAX in f64).astype(f32)
     zval = np.linspace(-LAW_CLAMP, LAW_CLAMP, 4097)
-    got = clenshaw_f32(coefs32, (zval / LAW_ZMAX).astype(np.float32))
+    s32 = zval.astype(np.float32) * np.float32(1.0 / LAW_ZMAX)
+    got = clenshaw_f32(coefs32, s32)
     want = (_qlog_of_z(values, cdf, zval) + log_shift) - np.log(scale)
     max_err = float(np.max(np.abs(got.astype(np.float64) - want)))
     if not np.isfinite(max_err) or max_err > tol:

@@ -280,6 +280,48 @@ def test_percent_out_of_range_rejected():
     FixedPercentWithdrawal(100.0)  # boundary is allowed
 
 
+def test_short_percent_schedule_rejected():
+    """A VariablePercentWithdrawal schedule shorter than the horizon is an
+    error on EVERY path (regression: the terminal-law path's static slice
+    silently treated the missing months as keep=1.0 and returned wrong
+    statistics while the month loop failed on a shape mismatch)."""
+    short = VariablePercentWithdrawal(jnp.full((12,), 4.0))
+    with pytest.raises(ValueError, match="12 entries.*n_periods=24"):
+        smmc.simulate_stats(
+            GAUSS, 4096, 24, strategy=short,
+            options=EngineOptions(terminal_law=True,
+                                  track_withdrawn=False),
+        )
+    with pytest.raises((ValueError, TypeError)):
+        smmc.simulate_stats(
+            GAUSS, 4096, 24, strategy=short,
+            options=EngineOptions(track_withdrawn=False),
+        )
+
+
+def test_keep_finals_host_memory_guard():
+    """Multi-GiB keep_final_values runs must error up front, not
+    MemoryError in the final concatenate after minutes of compute."""
+    with pytest.raises(ValueError, match="GiB of finals"):
+        smmc.simulate_stats(GAUSS, 3 * 10**9, 4, keep_final_values=True)
+
+
+def test_terminal_law_accepts_large_bootstrap_table():
+    """The 2^15-row bootstrap-table limit protects the umulhi index map,
+    which the terminal-law path never runs — its FFT oracle handles any
+    table size. (The month-loop path still rejects the same table.)"""
+    rng = np.random.default_rng(7)
+    big = smmc.HistoricalBootstrap(
+        returns_pct=jnp.asarray(rng.normal(0.02, 1.0, 40_000), jnp.float32)
+    )
+    res = smmc.simulate_stats(
+        big, 8192, 12, options=EngineOptions(terminal_law=True)
+    )
+    assert np.isfinite(res.mean) and res.n_paths == 8192
+    with pytest.raises(ValueError, match="32767"):
+        smmc.simulate_stats(big, 8192, 12)
+
+
 def test_oversized_n_paths_rejected():
     with pytest.raises(ValueError, match="uint32"):
         smmc.simulate_stats(GAUSS, 2**32, 1)
