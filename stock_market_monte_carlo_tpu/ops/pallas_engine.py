@@ -28,6 +28,7 @@ as (cnt+0.5)/2^23, which keeps u strictly inside (0,1) at float32.
 
 from __future__ import annotations
 
+import os
 from functools import lru_cache
 
 import jax
@@ -1180,6 +1181,19 @@ def _build_law_call(ntiles: int, interpret, with_hist: bool):
 
 LAW_GROUP = 16
 
+# Indicator dtype for the law stats kernel's factorized one-hot gemm.
+# "i8" (default) quarters the one-hot bytes vs bf16 and accumulates the
+# dot in int32 — the same trade ops/pallas_bands.py measured at 482 vs
+# 574 ms/chunk for its per-month histogram. Counts stay <= 2^24/cell
+# (config.chunk_paths cap), so the int32 -> f32 cast at the hist_ref
+# write is exact and the output contract is unchanged. "bf16" keeps the
+# original trace byte-identical (ablation control; its Mosaic cache
+# stays valid). The finals law kernel (_build_law_kernel) keeps bf16:
+# it is off the headline path and its cache is expensive to rebuild.
+_LAW_OH_I8 = os.environ.get("SMMC_LAW_OH", "i8") == "i8"
+_LAW_OH_DTYPE = jnp.int8 if _LAW_OH_I8 else jnp.bfloat16
+_LAW_ACC_DTYPE = jnp.int32 if _LAW_OH_I8 else jnp.float32
+
 
 def _build_law_stats_kernel(with_hist: bool, group: int):
     """Finals-free terminal-law kernel: same SMEM operands as
@@ -1210,7 +1224,8 @@ def _build_law_stats_kernel(with_hist: bool, group: int):
         s1 = s2 = s3 = s4 = cb = zrow
         mn = jnp.full((1, 128), jnp.inf, jnp.float32)
         mx = jnp.full((1, 128), -jnp.inf, jnp.float32)
-        hist_acc = jnp.zeros((64, 64), jnp.float32) if with_hist else None
+        hist_acc = (jnp.zeros((64, 64), _LAW_ACC_DTYPE) if with_hist
+                    else None)
 
         def rowsum(x):
             return jnp.sum(x, axis=0, keepdims=True)
@@ -1255,22 +1270,23 @@ def _build_law_stats_kernel(with_hist: bool, group: int):
                 hi_b = bins >> 6
                 lo_b = bins & 63
                 oh_hi_t = jnp.concatenate(
-                    [(hi_b[r:r + 1, :] == rio).astype(jnp.bfloat16)
+                    [(hi_b[r:r + 1, :] == rio).astype(_LAW_OH_DTYPE)
                      for r in range(TILE_ROWS)], axis=1,
                 )
                 oh_lo_t = jnp.concatenate(
-                    [(lo_b[r:r + 1, :] == rio).astype(jnp.bfloat16)
+                    [(lo_b[r:r + 1, :] == rio).astype(_LAW_OH_DTYPE)
                      for r in range(TILE_ROWS)], axis=1,
                 )
                 hist_acc = hist_acc + jax.lax.dot_general(
                     oh_hi_t, oh_lo_t, (((1,), (1,)), ((), ())),
-                    preferred_element_type=jnp.float32,
+                    preferred_element_type=_LAW_ACC_DTYPE,
                 )
 
         partials_ref[:] = jnp.concatenate(
             [s1, s2, s3, s4, mn, mx, cb, zrow], axis=0)
         if with_hist:
-            hist_ref[:] += hist_acc
+            # exact: per-cell counts <= chunk_paths <= 2^24 fit f32
+            hist_ref[:] += hist_acc.astype(jnp.float32)
 
     return kernel
 

@@ -327,6 +327,47 @@ def test_law_statsonly_kernel_matches_finals_kernel():
     assert np.asarray(c[1]).sum() == 0.0
 
 
+def test_law_onehot_i8_matches_bf16_control():
+    """The int8-indicator MXU histogram (SMMC_LAW_OH default) must count
+    identically to the original bf16/f32 trace: one-hots are exact in
+    both dtypes and per-cell counts <= 2^24 make the int32 accumulate +
+    f32 cast lossless (experiments/exp_law_oh.py measures the speed
+    side on hardware)."""
+    import jax
+    import jax.numpy as jnp
+
+    from stock_market_monte_carlo_tpu.ops import pallas_engine as pe
+    from stock_market_monte_carlo_tpu.ops import reductions as red
+
+    fit = tlaw.fit_terminal_law(GAUSS, smmc.NoWithdrawal(), 120, 1000.0)
+    law_op = jnp.asarray(fit.operand())
+    spec = red.HistogramSpec(lo=10.0, hi=1e6, n_bins=4094)
+    key = jax.random.key(11)
+    kw = dict(n_periods=120, chunk_shape_b=4 * pe.TILE_PATHS, spec=spec,
+              sampler="law", keep_finals=False)
+    args = (GAUSS, smmc.NoWithdrawal(), key, law_op, jnp.float32(1000.0),
+            jnp.uint32(0), 4 * pe.TILE_PATHS - 777, jnp.float32(2000.0))
+
+    saved = (pe._LAW_OH_DTYPE, pe._LAW_ACC_DTYPE)
+    pe._build_law_stats_call.cache_clear()
+    try:
+        pe._LAW_OH_DTYPE, pe._LAW_ACC_DTYPE = jnp.int8, jnp.int32
+        a = pe.pallas_chunk_stats(*args, **kw)
+        sa, ha = np.asarray(a[0]), np.asarray(a[1])
+        pe._build_law_stats_call.cache_clear()
+        pe._LAW_OH_DTYPE, pe._LAW_ACC_DTYPE = jnp.bfloat16, jnp.float32
+        b = pe.pallas_chunk_stats(*args, **kw)
+        sb, hb = np.asarray(b[0]), np.asarray(b[1])
+    finally:
+        pe._LAW_OH_DTYPE, pe._LAW_ACC_DTYPE = saved
+        pe._build_law_stats_call.cache_clear()
+
+    np.testing.assert_array_equal(ha, hb)
+    assert ha.sum() == 4 * pe.TILE_PATHS - 777
+    # moment rows don't touch the histogram path at all: bit-identical
+    np.testing.assert_array_equal(sa, sb)
+
+
 def test_law_group_divisors():
     from stock_market_monte_carlo_tpu.ops.pallas_engine import _law_group
 
