@@ -1179,7 +1179,17 @@ def _build_law_call(ntiles: int, interpret, with_hist: bool):
 #     a cell accumulates at most one chunk's worth of paths).
 # HBM output traffic per 2^24-path chunk: 104 MB -> 528 KB.
 
-LAW_GROUP = 16
+# Logical 8192-path tiles per grid step of the finals-free law kernel.
+# More tiles per step amortize the per-grid-step overhead (~44 us/step:
+# the 5.6 ms/chunk do-nothing floor at 128 steps, optimization_log v15)
+# over more work at the cost of a longer unrolled body. 16 was the v15
+# choice; the env knob exists for measurement (experiments/
+# exp_law_group.py). Seeding is per-global-tile either way, so the
+# group size cannot change any sampled stream — only f32 association
+# of the moment rows (counts/min/max/histogram stay exact).
+LAW_GROUP = int(os.environ.get("SMMC_LAW_GROUP", "16"))
+if LAW_GROUP < 1 or (LAW_GROUP & (LAW_GROUP - 1)) != 0:
+    raise ValueError(f"SMMC_LAW_GROUP must be a power of two, got {LAW_GROUP}")
 
 # Indicator dtype for the law stats kernel's factorized one-hot gemm.
 # "i8" (default) quarters the one-hot bytes vs bf16 and accumulates the

@@ -369,11 +369,63 @@ def test_law_onehot_i8_matches_bf16_control():
 
 
 def test_law_group_divisors():
+    from stock_market_monte_carlo_tpu.ops import pallas_engine as pe
     from stock_market_monte_carlo_tpu.ops.pallas_engine import _law_group
 
     assert _law_group(1) == 1
     assert _law_group(3) == 1
     assert _law_group(6) == 2
-    assert _law_group(16) == 16
-    assert _law_group(2048) == 16
+    assert _law_group(16) == min(16, pe.LAW_GROUP)
+    assert _law_group(2048) == pe.LAW_GROUP
     assert _law_group(12) == 4
+
+
+def test_law_group_size_invariance():
+    """The grid group size (SMMC_LAW_GROUP) only re-associates the f32
+    moment accumulation — streams are seeded per GLOBAL tile, so the
+    histogram / min / max / count-below must be bit-identical and the
+    moment rows equal to f32-reassociation tolerance across group
+    sizes. Guards the env knob (and any future LAW_GROUP retune)
+    against accidentally entangling group position with seeding.
+    Runs under the TPU-semantics interpreter (hardware-PRNG kernel:
+    streams are the documented all-zeros stub off-TPU), so this checks
+    grouping/accumulation composition, not statistics."""
+    import jax
+    import jax.numpy as jnp
+
+    from stock_market_monte_carlo_tpu.ops import pallas_engine as pe
+    from stock_market_monte_carlo_tpu.ops import reductions as red
+
+    fit = tlaw.fit_terminal_law(GAUSS, smmc.NoWithdrawal(), 60, 1000.0)
+    law_op = jnp.asarray(fit.operand())
+    spec = red.HistogramSpec(lo=10.0, hi=1e6, n_bins=4094)
+    ntiles = 8
+    valid = ntiles * pe.TILE_PATHS - 321
+    tile0 = jax.lax.bitcast_convert_type(jnp.uint32(0), jnp.int32)
+    iscal = jnp.stack([jnp.int32(12345), tile0, jnp.int32(valid),
+                       jnp.int32(spec.n_bins + 2)] + [jnp.int32(0)] * 4)
+    fscal = jnp.stack([
+        jnp.float32(1000.0), jnp.float32(2000.0),
+        jnp.float32(spec.log_lo), jnp.float32(1.0 / spec.width),
+        jnp.float32(0.0), jnp.float32(1.0 / tlaw.LAW_ZMAX),
+        jnp.float32(0), jnp.float32(0),
+    ])
+    law2d = law_op.reshape(-1, 1)
+
+    outs = {}
+    for group in (1, 2, 8):
+        call = pe._build_law_stats_call(
+            ntiles // group, group, pe.interpret_mode("gaussian"), True)
+        p, h = call(iscal, fscal, law2d)
+        stats = np.asarray(
+            p.reshape(-1, pe.N_PARTIAL_ROWS, 128).sum(axis=(0, 2)),
+            np.float64)
+        outs[group] = (stats, np.asarray(h))
+
+    base_s, base_h = outs[1]
+    for group in (2, 8):
+        s, h = outs[group]
+        np.testing.assert_array_equal(h, base_h)
+        np.testing.assert_allclose(s[:4], base_s[:4], rtol=5e-6)
+        np.testing.assert_array_equal(s[6:], base_s[6:])
+    assert base_h.sum() == valid
