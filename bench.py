@@ -65,6 +65,105 @@ def _require_live_backend(timeout_s: float = 180.0):
     return out
 
 
+def _device_times(n_periods, chunk_paths=2**24, k=6, reps=3):
+    """Honest per-chunk device time for the production chunk kernels.
+
+    Method (experiments/exp_dispatch_overhead.py): dispatch K chunks
+    back-to-back and force ONE combined scalar fetch — the 15-25 ms
+    tunnel round-trip is paid once and amortized, so batched/K is the
+    device cost; isolated-minus-batched is the dispatch/tunnel tax.
+    These fields make round-over-round comparisons survive the 5-25%
+    daily wall-clock drift (RESULTS.md caveat): device ms/chunk moves
+    only when the kernel changes. All kernels were just compiled by the
+    timed runs, so this adds no compile risk. The do-nothing dispatch
+    floor (same 128-step grid as the law kernel, zero math) gives
+    ``*_floor_fraction`` = how close each kernel sits to pure dispatch
+    cost."""
+    import jax.numpy as jnp
+
+    import stock_market_monte_carlo_tpu as smmc
+    from stock_market_monte_carlo_tpu.config import EngineOptions
+    from stock_market_monte_carlo_tpu.engine import engine as eng
+    from stock_market_monte_carlo_tpu.models.strategies import NoWithdrawal
+    from stock_market_monte_carlo_tpu.ops import terminal_law as tlaw
+
+    g = smmc.GaussianReturns()
+    h = smmc.HistoricalBootstrap.from_csv()
+    strat = NoWithdrawal()
+    root = jax.random.key(1)
+    scr = jax.random.fold_in(root, 0x50B0)
+    law_op_h = jnp.asarray(
+        tlaw.fit_terminal_law(h, strat, n_periods, 1000.0).operand())
+    nbins = EngineOptions().histogram_bins
+    spec_g = eng.make_histogram_spec(g, strat, n_periods, 1000.0, nbins)
+    spec_h = eng.make_histogram_spec(h, strat, n_periods, 1000.0, nbins)
+
+    def mk(model, sampler, with_hist, key2, spec):
+        fn = eng._get_chunk_fn(
+            (model.kind, getattr(model, "rng", "counter")), strat.kind,
+            n_periods, chunk_paths, spec, False, None, "pallas", sampler,
+            with_hist,
+        )
+
+        def call(offset):
+            return fn(model, strat, root, key2, jnp.float32(1000.0),
+                      jnp.uint32(offset), jnp.int32(chunk_paths),
+                      jnp.float32(jnp.inf), jnp.float32(0.0))
+
+        return call
+
+    calls = {
+        "law_hist": mk(h, "law", True, law_op_h, spec_h),
+        "law_statsonly": mk(h, "law", False, law_op_h, spec_h),
+        "historical": mk(h, "icdf", True, scr, spec_h),
+        "clt": mk(g, "clt", True, scr, spec_g),
+        "clt_statsonly": mk(g, "clt", False, scr, spec_g),
+    }
+
+    def force(outs):
+        return float(sum(jnp.sum(jnp.asarray(o[0]).ravel()[:8])
+                         for o in outs))
+
+    out = {"method": (f"batched K={k} dispatches + one forcing fetch "
+                      "(experiments/exp_dispatch_overhead.py)")}
+    floor_ms = None
+    try:
+        # do-nothing Pallas kernel on the law kernel's 128-step grid:
+        # the pure dispatch floor (compiled in seconds — no math body)
+        sys.path.insert(0, __file__.rsplit("/", 1)[0])
+        from experiments.exp_grid_overhead import _make
+        toy = jax.jit(_make("const", 16))
+        iscal = jnp.array([12345, 0, 0, 0, 0, 0, 0, 0], jnp.int32)
+        force([toy(iscal)[1:]])  # warm (finals output is slot 0 here)
+        best = float("inf")
+        for _ in range(reps):
+            t0 = time.perf_counter()
+            force([toy(iscal)[1:] for _ in range(k)])
+            best = min(best, time.perf_counter() - t0)
+        floor_ms = best * 1000 / k
+        out["dispatch_floor_ms_per_chunk"] = round(floor_ms, 2)
+    except Exception as e:  # floor is best-effort instrumentation
+        out["dispatch_floor_error"] = f"{type(e).__name__}: {e}"
+
+    for name, call in calls.items():
+        force([call(0)])  # warm
+        iso = bat = float("inf")
+        for _ in range(reps):
+            t0 = time.perf_counter()
+            force([call(0)])
+            iso = min(iso, time.perf_counter() - t0)
+        for _ in range(reps):
+            t0 = time.perf_counter()
+            force([call(i * chunk_paths) for i in range(k)])
+            bat = min(bat, time.perf_counter() - t0)
+        ms = bat * 1000 / k
+        out[f"{name}_ms_per_chunk"] = round(ms, 2)
+        out[f"{name}_dispatch_tax_ms"] = round(iso * 1000 - ms, 2)
+        if floor_ms:
+            out[f"{name}_floor_fraction"] = round(floor_ms / ms, 3)
+    return out
+
+
 def main():
     # the guard must run before the package import — importing the
     # package initializes the backend and hangs the same way
@@ -128,6 +227,13 @@ def main():
     t_clt, res_clt = timed(gauss, "clt")
     t_clt_so, _ = timed(gauss, "clt", histogram=False)
 
+    # honest device-time instrumentation (drift-proof comparisons):
+    # best-effort — the headline must never die on it
+    try:
+        device_time = _device_times(n_periods)
+    except Exception as e:
+        device_time = {"error": f"{type(e).__name__}: {e}"}
+
     # the engine runs single-device when no mesh is passed — the per-chip
     # rate must NOT divide by other idle visible devices
     n_chips = 1
@@ -190,6 +296,10 @@ def main():
             "mean_rel_err_vs_analytic_clt": float(f"{rel_err_clt:.2e}"),
             "mean_rel_err_vs_analytic_terminal_law": float(
                 f"{rel_err_law:.2e}"),
+            # drift-separable per-kernel device time (ms/chunk, batched
+            # method) + dispatch-floor fraction: compare THESE round over
+            # round; wall clock carries 5-25% daily tunnel/machine drift
+            "device_time": device_time,
             # raw per-rep wall times, order: law hist, law stats-only,
             # law gaussian, historical month-loop, historical stats-only,
             # icdf, clt, clt stats-only — tunnel/machine variance is

@@ -278,7 +278,7 @@ def visualize_bands(args):
     for q, row in zip(bands.quantile_levels, bands.values):
         print(f"p{int(q * 100):02d} final: {row[-1]:,.2f}")
     band_chart(bands, target=args.target,
-               save=args.save or "visualize_bands.png",
+               save=args.save or "outputs/visualize_bands.png",
                title=f"{args.model} MC bands")
 
 

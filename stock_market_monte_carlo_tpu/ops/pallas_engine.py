@@ -1190,6 +1190,16 @@ def _build_law_call(ntiles: int, interpret, with_hist: bool):
 LAW_GROUP = int(os.environ.get("SMMC_LAW_GROUP", "16"))
 if LAW_GROUP < 1 or (LAW_GROUP & (LAW_GROUP - 1)) != 0:
     raise ValueError(f"SMMC_LAW_GROUP must be a power of two, got {LAW_GROUP}")
+# Practical ceiling: the group-64 body took 6m41 to compile on XLA CPU
+# and group-32 already outgrows the remote Mosaic cache's cross-process
+# reuse (fresh processes stall >10 min re-waiting on the compile
+# service, optimization_log v20) — larger bodies are compile-time traps,
+# not throughput.
+if LAW_GROUP > 64:
+    raise ValueError(
+        f"SMMC_LAW_GROUP={LAW_GROUP} exceeds the practical ceiling (64): "
+        "the unrolled kernel body scales with the group and very large "
+        "bodies stall fresh-process Mosaic compiles (optimization_log v20)")
 
 # Indicator dtype for the law stats kernel's factorized one-hot gemm.
 # "i8" (default) quarters the one-hot bytes vs bf16 and accumulates the
@@ -1201,15 +1211,19 @@ if LAW_GROUP < 1 or (LAW_GROUP & (LAW_GROUP - 1)) != 0:
 # stays valid). The finals law kernel (_build_law_kernel) keeps bf16:
 # it is off the headline path and its cache is expensive to rebuild.
 _LAW_OH_I8 = os.environ.get("SMMC_LAW_OH", "i8") == "i8"
-_LAW_OH_DTYPE = jnp.int8 if _LAW_OH_I8 else jnp.bfloat16
-_LAW_ACC_DTYPE = jnp.int32 if _LAW_OH_I8 else jnp.float32
 
 
-def _build_law_stats_kernel(with_hist: bool, group: int):
+def _build_law_stats_kernel(with_hist: bool, group: int, oh_i8: bool):
     """Finals-free terminal-law kernel: same SMEM operands as
     _build_law_kernel; outs are one (N_PARTIAL_ROWS,128) partials row per
-    grid step and (with_hist) a single accumulated (64,64) histogram."""
+    grid step and (with_hist) a single accumulated (64,64) histogram.
+    ``oh_i8`` selects the one-hot/accumulator dtype pair explicitly (the
+    module default is _LAW_OH_I8) so tests can A/B the two traces without
+    monkeypatching globals."""
     from stock_market_monte_carlo_tpu.ops.terminal_law import LAW_D
+
+    oh_dtype = jnp.int8 if oh_i8 else jnp.bfloat16
+    acc_dtype = jnp.int32 if oh_i8 else jnp.float32
 
     def kernel(*refs):
         it = iter(refs)
@@ -1234,7 +1248,7 @@ def _build_law_stats_kernel(with_hist: bool, group: int):
         s1 = s2 = s3 = s4 = cb = zrow
         mn = jnp.full((1, 128), jnp.inf, jnp.float32)
         mx = jnp.full((1, 128), -jnp.inf, jnp.float32)
-        hist_acc = (jnp.zeros((64, 64), _LAW_ACC_DTYPE) if with_hist
+        hist_acc = (jnp.zeros((64, 64), acc_dtype) if with_hist
                     else None)
 
         def rowsum(x):
@@ -1280,16 +1294,16 @@ def _build_law_stats_kernel(with_hist: bool, group: int):
                 hi_b = bins >> 6
                 lo_b = bins & 63
                 oh_hi_t = jnp.concatenate(
-                    [(hi_b[r:r + 1, :] == rio).astype(_LAW_OH_DTYPE)
+                    [(hi_b[r:r + 1, :] == rio).astype(oh_dtype)
                      for r in range(TILE_ROWS)], axis=1,
                 )
                 oh_lo_t = jnp.concatenate(
-                    [(lo_b[r:r + 1, :] == rio).astype(_LAW_OH_DTYPE)
+                    [(lo_b[r:r + 1, :] == rio).astype(oh_dtype)
                      for r in range(TILE_ROWS)], axis=1,
                 )
                 hist_acc = hist_acc + jax.lax.dot_general(
                     oh_hi_t, oh_lo_t, (((1,), (1,)), ((), ())),
-                    preferred_element_type=_LAW_ACC_DTYPE,
+                    preferred_element_type=acc_dtype,
                 )
 
         partials_ref[:] = jnp.concatenate(
@@ -1303,8 +1317,8 @@ def _build_law_stats_kernel(with_hist: bool, group: int):
 
 @lru_cache(maxsize=16)
 def _build_law_stats_call(nsteps: int, group: int, interpret,
-                          with_hist: bool):
-    kernel = _build_law_stats_kernel(with_hist, group)
+                          with_hist: bool, oh_i8: bool = _LAW_OH_I8):
+    kernel = _build_law_stats_kernel(with_hist, group, oh_i8)
     in_specs = [
         pl.BlockSpec(memory_space=pltpu.SMEM),  # iscal
         pl.BlockSpec(memory_space=pltpu.SMEM),  # fscal
@@ -1341,8 +1355,10 @@ def _law_group(ntiles: int) -> int:
 
 def _law_chunk_stats(law_op, root_key, v0, path_offset, valid, target,
                      shift, *, chunk_shape_b, spec, keep_finals,
-                     with_hist):
-    """Terminal-law chunk: same output contract as pallas_chunk_stats."""
+                     with_hist, oh_i8=None):
+    """Terminal-law chunk: same output contract as pallas_chunk_stats.
+    ``oh_i8=None`` uses the module default (_LAW_OH_I8); tests pass an
+    explicit bool to A/B the int8 vs bf16 one-hot traces."""
     from stock_market_monte_carlo_tpu.ops.terminal_law import LAW_ZMAX
 
     assert chunk_shape_b % TILE_PATHS == 0, (chunk_shape_b, TILE_PATHS)
@@ -1377,7 +1393,8 @@ def _law_chunk_stats(law_op, root_key, v0, path_offset, valid, target,
     if not keep_finals and (mxu_hist or not with_hist):
         group = _law_group(ntiles)
         call = _build_law_stats_call(
-            ntiles // group, group, interpret, mxu_hist)
+            ntiles // group, group, interpret, mxu_hist,
+            _LAW_OH_I8 if oh_i8 is None else oh_i8)
         outs = call(iscal, fscal, law2d)
         p = outs[0].reshape(ntiles // group, N_PARTIAL_ROWS, 128)
         stats = jnp.concatenate([
@@ -1501,7 +1518,7 @@ def _clt_chunk_stats(model, strategy, root_key, v0, path_offset, valid,
 def pallas_chunk_stats(model, strategy, root_key, scramble_key, v0,
                        path_offset, valid, target, shift=jnp.float32(0.0),
                        *, n_periods, chunk_shape_b, spec, keep_finals,
-                       sampler="icdf", with_hist=True):
+                       sampler="icdf", with_hist=True, law_oh_i8=None):
     """Drop-in replacement for engine.chunk_stats on TPU (same contract)."""
     if sampler == "law":
         # terminal-law sampling: scramble_key carries the (LAW_OP_LEN,)
@@ -1509,7 +1526,7 @@ def pallas_chunk_stats(model, strategy, root_key, scramble_key, v0,
         return _law_chunk_stats(
             scramble_key, root_key, v0, path_offset, valid, target,
             shift, chunk_shape_b=chunk_shape_b, spec=spec,
-            keep_finals=keep_finals, with_hist=with_hist,
+            keep_finals=keep_finals, with_hist=with_hist, oh_i8=law_oh_i8,
         )
     # the engine passes the EFFECTIVE sampler (engine._effective_sampler):
     # "clt" = plain CLT tiles; "clt-prefix" = the lane-prefix strategy

@@ -328,6 +328,9 @@ def band_chart(bands, target: Optional[float] = None,
     ax.legend(loc="upper left")
     fig.tight_layout()
     if save:
+        d = os.path.dirname(save)
+        if d:
+            os.makedirs(d, exist_ok=True)
         fig.savefig(save)
         print(f"saved {save}")
     if show:  # pragma: no cover

@@ -348,19 +348,12 @@ def test_law_onehot_i8_matches_bf16_control():
     args = (GAUSS, smmc.NoWithdrawal(), key, law_op, jnp.float32(1000.0),
             jnp.uint32(0), 4 * pe.TILE_PATHS - 777, jnp.float32(2000.0))
 
-    saved = (pe._LAW_OH_DTYPE, pe._LAW_ACC_DTYPE)
-    pe._build_law_stats_call.cache_clear()
-    try:
-        pe._LAW_OH_DTYPE, pe._LAW_ACC_DTYPE = jnp.int8, jnp.int32
-        a = pe.pallas_chunk_stats(*args, **kw)
-        sa, ha = np.asarray(a[0]), np.asarray(a[1])
-        pe._build_law_stats_call.cache_clear()
-        pe._LAW_OH_DTYPE, pe._LAW_ACC_DTYPE = jnp.bfloat16, jnp.float32
-        b = pe.pallas_chunk_stats(*args, **kw)
-        sb, hb = np.asarray(b[0]), np.asarray(b[1])
-    finally:
-        pe._LAW_OH_DTYPE, pe._LAW_ACC_DTYPE = saved
-        pe._build_law_stats_call.cache_clear()
+    # the dtype pair is an explicit builder argument (law_oh_i8), so the
+    # two traces are requested directly — no module-global monkeypatching
+    a = pe.pallas_chunk_stats(*args, law_oh_i8=True, **kw)
+    sa, ha = np.asarray(a[0]), np.asarray(a[1])
+    b = pe.pallas_chunk_stats(*args, law_oh_i8=False, **kw)
+    sb, hb = np.asarray(b[0]), np.asarray(b[1])
 
     np.testing.assert_array_equal(ha, hb)
     assert ha.sum() == 4 * pe.TILE_PATHS - 777
