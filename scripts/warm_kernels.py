@@ -85,6 +85,35 @@ def main():
         _ = r.mean
         print(f"  {name:24s} {time.perf_counter() - t0:7.1f} s")
 
+    # finals-free CLT variants (SMMC_CLT_FINALSFREE=1; same streams, no
+    # finals output — the env knob is read at trace time and keys every
+    # build cache, so warming both variants from one process is safe)
+    os.environ["SMMC_CLT_FINALSFREE"] = "1"
+    try:
+        for name, o in [
+            ("clt finals-free", opts(gaussian_sampler="clt")),
+            ("clt finals-free stats-only",
+             opts(gaussian_sampler="clt", histogram=False)),
+        ]:
+            t0 = time.perf_counter()
+            r = smmc.simulate_stats(gauss, o.chunk_paths, T, seed=1,
+                                    target_amount=2000.0, options=o)
+            _ = r.mean
+            print(f"  {name:24s} {time.perf_counter() - t0:7.1f} s")
+    finally:
+        del os.environ["SMMC_CLT_FINALSFREE"]
+
+    # the do-nothing grid toy bench.py uses as its dispatch floor
+    t0 = time.perf_counter()
+    from experiments.exp_grid_overhead import _make
+
+    import jax.numpy as jnp
+
+    toy = jax.jit(_make("const", 16))
+    _ = float(jnp.sum(toy(jnp.array([12345, 0, 0, 0, 0, 0, 0, 0],
+                                    jnp.int32))[1][:8]))
+    print(f"  {'dispatch-floor toy':24s} {time.perf_counter() - t0:7.1f} s")
+
     # fused band kernels (ops/pallas_bands.py): one full-chunk grid each
     band_jobs = [
         ("bands gauss", gauss, {}),

@@ -406,11 +406,14 @@ def _get_chunk_fn(model_kind, strategy_kind, n_periods, chunk_b, spec,
         sampler_key = f"clt-prefix-{pallas_engine.clt_prefix_impl()}"
     ablate_key = ""
     if backend == "pallas":
-        # the roofline-ablation hook (WRONG statistics, timing only) is
-        # also env-resolved at trace time — same stale-fn hazard
+        # the roofline-ablation hook (WRONG statistics, timing only) and
+        # the PRNG bit-source are env-resolved at trace time — same
+        # stale-fn hazard for both
         from stock_market_monte_carlo_tpu.ops import pallas_engine
 
-        ablate_key = pallas_engine.hist_ablate_mode()
+        ablate_key = (pallas_engine.hist_ablate_mode(),
+                      pallas_engine.prng_impl(),
+                      pallas_engine.clt_finals_free())
     cache_key = (
         model_kind, strategy_kind, n_periods, chunk_b, spec, keep_finals,
         mesh_key, backend, sampler_key, with_hist, ablate_key,
@@ -893,9 +896,19 @@ def simulate_stats(
 
             eff = f"clt-prefix-{pallas_engine.clt_prefix_impl()}"
         hist_tag = "" if options.histogram else "/nohist"
+        prng_tag = ""
+        if backend == "pallas":
+            # the arithmetic bit-source (SMMC_PRNG_IMPL=arith) samples a
+            # DIFFERENT stream than the hardware PRNG — refuse to resume
+            # a checkpoint across bit sources
+            from stock_market_monte_carlo_tpu.ops import pallas_engine
+
+            if pallas_engine.prng_impl() != "hw":
+                prng_tag = f"/prng-{pallas_engine.prng_impl()}"
         fingerprint = ckpt.config_fingerprint(
             model, strategy, n_paths, n_periods, initial_capital, seed,
-            target_amount, spec, f"{backend}/streams3/{eff}{hist_tag}",
+            target_amount, spec,
+            f"{backend}/streams3/{eff}{hist_tag}{prng_tag}",
         )
         state = ckpt.load(checkpoint_path, fingerprint)
         if state is not None:

@@ -46,8 +46,10 @@ from stock_market_monte_carlo_tpu.ops.pallas_engine import (
     _seed_base_i32,
     _sliced_rotation_draw,
     _tile_seed_i32,
+    _TileRng,
     _u23_from_bits,
     interpret_mode,
+    prng_impl,
 )
 
 LO_W = 32  # lanes of the factorized one-hot gemm
@@ -88,7 +90,8 @@ def _nhi_pad(n_cells: int) -> int:
 
 
 def _build_bands_kernel(kind: str, strategy_kind: str, n_periods: int,
-                        n_table_chunks: int, n_cells: int):
+                        n_table_chunks: int, n_cells: int,
+                        prng: str = "hw"):
     """Kernel over tiles of TILE_PATHS paths; one grid step per tile.
 
     Ref layout:
@@ -118,7 +121,7 @@ def _build_bands_kernel(kind: str, strategy_kind: str, n_periods: int,
         pid = pl.program_id(0)
         tile = iscal[1] + pid
         v0, a, b = fscal[0], fscal[1], fscal[2]
-        pltpu.prng_seed(_tile_seed_i32(iscal[0], tile))
+        rng = _TileRng(_tile_seed_i32(iscal[0], tile), prng)
 
         rr = jax.lax.broadcasted_iota(jnp.int32, (TILE_ROWS, 128), 0)
         ll = jax.lax.broadcasted_iota(jnp.int32, (TILE_ROWS, 128), 1)
@@ -146,16 +149,13 @@ def _build_bands_kernel(kind: str, strategy_kind: str, n_periods: int,
             def growth(t):
                 # the shared stream-defining recipe — identical stream to
                 # ops/pallas_engine._build_kernel by construction
-                del t
                 return _sliced_rotation_draw(
-                    rows, ll, n_valid, n_i32, tail_n, n_table_chunks
+                    rows, ll, n_valid, n_i32, tail_n, n_table_chunks,
+                    rng.bits(ll.shape, key=t),
                 )
         else:
             def growth(t):
-                del t
-                u = _u23_from_bits(
-                    pltpu.prng_random_bits((TILE_ROWS, 128))
-                )
+                u = _u23_from_bits(rng.bits((TILE_ROWS, 128), key=t))
                 z = jnp.float32(_SQRT2) * _erfinv_poly(2.0 * u - 1.0)
                 return a + b * z
 
@@ -226,9 +226,9 @@ def _build_bands_kernel(kind: str, strategy_kind: str, n_periods: int,
 @lru_cache(maxsize=16)
 def _build_bands_call(kind: str, strategy_kind: str, n_periods: int,
                       n_table_chunks: int, n_cells: int, ntiles: int,
-                      interpret):
+                      interpret, prng: str = "hw"):
     kernel = _build_bands_kernel(kind, strategy_kind, n_periods,
-                                 n_table_chunks, n_cells)
+                                 n_table_chunks, n_cells, prng)
     nhi_pad = _nhi_pad(n_cells + 1)
     in_specs = [
         pl.BlockSpec(memory_space=pltpu.SMEM),  # iscal
@@ -365,7 +365,8 @@ def _resolve_cdf_impl(impl, n_thr: int) -> str:
 
 
 def _build_cdf_kernel(kind: str, strategy_kind: str, n_periods: int,
-                      n_table_chunks: int, n_thr: int, impl: str):
+                      n_table_chunks: int, n_thr: int, impl: str,
+                      prng: str = "hw"):
     """Kernel over tiles of TILE_PATHS paths; one grid step per tile.
 
     Ref layout matches _build_bands_kernel except:
@@ -392,7 +393,7 @@ def _build_cdf_kernel(kind: str, strategy_kind: str, n_periods: int,
         pid = pl.program_id(0)
         tile = iscal[1] + pid
         v0, a, b = fscal[0], fscal[1], fscal[2]
-        pltpu.prng_seed(_tile_seed_i32(iscal[0], tile))
+        rng = _TileRng(_tile_seed_i32(iscal[0], tile), prng)
 
         rr = jax.lax.broadcasted_iota(jnp.int32, (TILE_ROWS, 128), 0)
         ll = jax.lax.broadcasted_iota(jnp.int32, (TILE_ROWS, 128), 1)
@@ -421,16 +422,13 @@ def _build_cdf_kernel(kind: str, strategy_kind: str, n_periods: int,
                 # identical stream recipe to _build_bands_kernel /
                 # ops/pallas_engine._build_kernel, so hist- and cdf-mode
                 # runs with the same seed count the SAME sample
-                del t
                 return _sliced_rotation_draw(
-                    rows, ll, n_valid, n_i32, tail_n, n_table_chunks
+                    rows, ll, n_valid, n_i32, tail_n, n_table_chunks,
+                    rng.bits(ll.shape, key=t),
                 )
         else:
             def growth(t):
-                del t
-                u = _u23_from_bits(
-                    pltpu.prng_random_bits((TILE_ROWS, 128))
-                )
+                u = _u23_from_bits(rng.bits((TILE_ROWS, 128), key=t))
                 z = jnp.float32(_SQRT2) * _erfinv_poly(2.0 * u - 1.0)
                 return a + b * z
 
@@ -476,9 +474,9 @@ def _build_cdf_kernel(kind: str, strategy_kind: str, n_periods: int,
 @lru_cache(maxsize=16)
 def _build_cdf_call(kind: str, strategy_kind: str, n_periods: int,
                     n_table_chunks: int, n_thr: int, ntiles: int,
-                    interpret, impl: str):
+                    interpret, impl: str, prng: str = "hw"):
     kernel = _build_cdf_kernel(kind, strategy_kind, n_periods,
-                               n_table_chunks, n_thr, impl)
+                               n_table_chunks, n_thr, impl, prng)
     in_specs = [
         pl.BlockSpec(memory_space=pltpu.SMEM),  # iscal
         pl.BlockSpec(memory_space=pltpu.SMEM),  # fscal
@@ -571,7 +569,7 @@ def pallas_chunk_month_cdf(model, strategy, root_key, v0, path_offset,
     call = _build_cdf_call(
         model.kind, strategy_kind, n_periods, n_table_chunks,
         n_thresholds, ntiles, interpret,
-        _resolve_cdf_impl(impl, n_thresholds),
+        _resolve_cdf_impl(impl, n_thresholds), prng_impl(),
     )
     mcdf = call(iscal, fscal, ab, *operands)
     return mcdf.reshape(n_periods, n_thresholds, 128).sum(axis=2)
@@ -631,7 +629,7 @@ def pallas_chunk_month_hist(model, strategy, root_key, v0, path_offset,
     strategy_kind = strategy.kind if keep is not None else "none"
     call = _build_bands_call(
         model.kind, strategy_kind, n_periods, n_table_chunks, n_cells,
-        ntiles, interpret,
+        ntiles, interpret, prng_impl(),
     )
     mhist = call(iscal, fscal, ab, *operands)
     return mhist.reshape(n_periods, nhi_pad * LO_W)[:, :n_cells]

@@ -72,7 +72,81 @@ def interpret_mode(kind: str, rng_mode: str = "counter"):
         return False
     if kind.startswith("sobol") or rng_mode == "reference":
         return True
+    if prng_impl() == "arith":
+        # the arithmetic counter stream needs no hardware PRNG — plain
+        # interpret mode executes the counter-mode kernels with FULL
+        # fidelity (nonzero, sharding-invariant bits) on CPU
+        return True
     return pltpu.InterpretParams()
+
+
+def prng_impl() -> str:
+    """Bit source for the counter-mode kernels.
+
+    - ``"hw"`` (default): the TPU hardware PRNG
+      (``pltpu.prng_seed``/``prng_random_bits``) — the production
+      stream; off-TPU it only runs under the TPU-semantics interpreter
+      whose ``prng_random_bits`` is an all-zeros stub.
+    - ``"arith"`` (``SMMC_PRNG_IMPL=arith``): `_arith_bits` — a counter
+      stream computed with plain int32 vector math, deterministic in
+      (tile seed, draw key, element position) ONLY. It therefore runs
+      with full fidelity everywhere (plain interpret on CPU, compiled
+      Mosaic on TPU) and must be bit-identical under any sharding /
+      chunking — the stream that proves the PRODUCTION kernels' seeding
+      path (`_tile_seed_i32` keying, masking, merge) produces nonzero
+      sharded == single-device results (tests/test_pallas_mesh.py),
+      closing the zeros-stub gap of the hw interpreter.
+
+    NOT the same stream as "hw" (the hardware generator is opaque), so
+    the value is resolved per kernel build, participates in every
+    builder/engine cache key, and tags the checkpoint fingerprint
+    (engine.simulate_stats) to refuse cross-impl resume.
+    """
+    impl = os.environ.get("SMMC_PRNG_IMPL", "hw")
+    if impl not in ("hw", "arith"):
+        raise ValueError(
+            f"SMMC_PRNG_IMPL must be 'hw' or 'arith', got {impl!r}")
+    return impl
+
+
+def _arith_bits(seed_i32, key_i32, shape):
+    """int32 bits for the "arith" impl: splitmix-style finalizer over
+    (tile seed, draw key) then per-element position — same finalizer
+    constants as `_tile_seed_i32`. Pure int32 vector math (mul/xor/
+    logical shift), so the stream is identical on every backend."""
+    h = _tile_seed_i32(seed_i32, key_i32)
+    r = jax.lax.broadcasted_iota(jnp.int32, shape, 0)
+    c = jax.lax.broadcasted_iota(jnp.int32, shape, 1)
+    x = h + (r * jnp.int32(shape[-1]) + c) * jnp.int32(-1640531527)
+    x = (x ^ _shr(x, 16)) * jnp.int32(-2048144789)
+    x = (x ^ _shr(x, 13)) * jnp.int32(-1028477387)
+    return x ^ _shr(x, 16)
+
+
+class _TileRng:
+    """Per-tile bit source used by every counter-mode kernel.
+
+    "hw": construction seeds the hardware PRNG; ``bits`` maps straight
+    to ``pltpu.prng_random_bits`` (the jaxpr is identical to the
+    pre-wrapper kernels, so the remote Mosaic cache stays valid).
+    "arith": ``bits`` hashes (seed, draw key, position); ``key`` — the
+    month/block index — keys draws made inside ``lax`` loops where a
+    Python call counter would freeze at trace time. hw ignores ``key``
+    (its stream is sequential by construction)."""
+
+    def __init__(self, seed_i32, impl: str):
+        self._arith = impl == "arith"
+        self._seed = seed_i32
+        self._calls = 0
+        if not self._arith:
+            pltpu.prng_seed(seed_i32)
+
+    def bits(self, shape, key=None):
+        if not self._arith:
+            return pltpu.prng_random_bits(shape)
+        k = jnp.int32(self._calls) if key is None else key
+        self._calls += 1
+        return _arith_bits(self._seed, k, shape)
 
 
 def _erfinv_poly(x):
@@ -148,7 +222,7 @@ def _bootstrap_idx_exact_i32(st, n_i32):
 
 
 def _sliced_rotation_draw(rows, ll, n_valid, n_i32, tail_n, k_chunks,
-                          ablate=""):
+                          w_bits, ablate=""):
     """One month's sliced-rotation bootstrap draw — THE stream-defining
     recipe, shared by the stats kernel (_build_kernel) and the fused band
     kernel (ops/pallas_bands.py) so their streams can never fork. Any
@@ -178,11 +252,16 @@ def _sliced_rotation_draw(rows, ll, n_valid, n_i32, tail_n, k_chunks,
     reference kernel's recipe costs the full chunk scan and is kept in
     rng='reference' parity mode (src/simulations.cu:144-150).
 
+    ``w_bits`` is the month's PRNG word, drawn by the caller's _TileRng
+    immediately before the call (same op position as the old in-function
+    ``pltpu.prng_random_bits``, so the "hw" jaxpr — and the remote
+    Mosaic cache — is unchanged); passing it in lets the arithmetic
+    counter stream (prng_impl "arith") reuse this exact recipe.
+
     ``ablate`` keeps the roofline stage-attribution hooks
     (experiments/exp_hist_roofline.py): each variant is statistically
     WRONG and exists only for timing deltas.
     """
-    w_bits = pltpu.prng_random_bits(ll.shape)
     if ablate == "nodraw":
         return rows[0]
     if ablate == "drawonly":
@@ -225,7 +304,7 @@ def _kernel_bin_indices(values, mask, log_lo, inv_w, hb):
 def _build_kernel(kind: str, strategy_kind: str, n_periods: int,
                   n_table_chunks: int, rng_mode: str = "counter",
                   sobol_deep: bool = False, with_hist: bool = True,
-                  ablate: str = ""):
+                  ablate: str = "", impl: str = "hw"):
     """Kernel specialized on (model kind, strategy kind, horizon).
 
     Ref layout (inputs then outputs):
@@ -271,7 +350,9 @@ def _build_kernel(kind: str, strategy_kind: str, n_periods: int,
             # global path id arithmetically and never touches the hardware
             # PRNG — skipping the seed keeps that kernel runnable with
             # full fidelity under plain interpret mode on CPU
-            pltpu.prng_seed(_tile_seed_i32(iscal[0], tile))
+            rng = _TileRng(_tile_seed_i32(iscal[0], tile), impl)
+        else:
+            rng = None
 
         # local path ids within the chunk: tile-major, row-major
         rr = jax.lax.broadcasted_iota(jnp.int32, (TILE_ROWS, 128), 0)
@@ -312,9 +393,7 @@ def _build_kernel(kind: str, strategy_kind: str, n_periods: int,
 
         def uniforms(t):
             if not is_sobol:
-                return _u23_from_bits(
-                    pltpu.prng_random_bits((TILE_ROWS, 128))
-                )
+                return _u23_from_bits(rng.bits((TILE_ROWS, 128), key=t))
             return _u23_from_bits(sobol_acc(t))
 
         if is_hist:
@@ -360,10 +439,11 @@ def _build_kernel(kind: str, strategy_kind: str, n_periods: int,
             )
 
             def growth(t):
-                del t
+                # the month index keys only the "arith" stream (hw is
+                # sequential and ignores it)
                 return _sliced_rotation_draw(
                     rows, ll, n_valid, n_i32, tail_n, k_chunks,
-                    ablate=_hist_ablate,
+                    rng.bits(ll.shape, key=t), ablate=_hist_ablate,
                 )
         else:
             def growth(t):
@@ -699,11 +779,22 @@ def hist_ablate_mode() -> str:
     return mode
 
 
+def clt_finals_free() -> bool:
+    """Whether the statsonly/MXU-hist CLT path skips the per-path finals
+    output entirely (SMMC_CLT_FINALSFREE=1) — the v15 law-kernel trade
+    applied to the CLT kernel: identical PRNG streams and moment/histogram
+    contract, no (P,1) finals block per grid step. Keyed into every
+    builder/engine cache like the other env-resolved trace knobs."""
+    return os.environ.get("SMMC_CLT_FINALSFREE", "0") == "1"
+
+
 def _build_clt_kernel(n_periods: int, n_hist_total: int,
                       with_strategy: bool = False,
                       with_hist: bool = True,
                       keep_fold: bool = False,
-                      prefix_impl: str = "mxu"):
+                      prefix_impl: str = "mxu",
+                      impl: str = "hw",
+                      finals_free: bool = False):
     """``with_strategy`` enables multiplicative withdrawal strategies at
     CLT speed: per-month keep fractions fold into the per-block (1,K)
     affine constants (finals are free), and the per-path withdrawn total
@@ -721,7 +812,8 @@ def _build_clt_kernel(n_periods: int, n_hist_total: int,
         it = iter(refs)
         iscal, fscal, q_ref, cs_ref, sh_ref = (next(it) for _ in range(5))
         keep_ref = next(it) if (with_strategy or keep_fold) else None
-        finals_ref, partials_ref = next(it), next(it)
+        finals_ref = None if finals_free else next(it)
+        partials_ref = next(it)
         hist_ref = next(it) if with_hist else None
         pid = pl.program_id(0)
         a, b, target = fscal[1], fscal[2], fscal[4]
@@ -750,11 +842,11 @@ def _build_clt_kernel(n_periods: int, n_hist_total: int,
             return (jnp.where(live, a - sh_ref[:] * b, 1.0),
                     jnp.where(live, cs_ref[:] * b, 0.0))
 
-        def draw_mix(j):
+        def draw_mix(rng, j):
             # one full-tile draw + one full-tile matmul per block (a
             # row-half split to encourage VPU/MXU overlap measured SLOWER:
             # 0.375 s vs 0.357 s — Mosaic schedules the big ops better).
-            bits = pltpu.prng_random_bits((P, K))
+            bits = rng.bits((P, K), key=j)
             cnt = jax.lax.shift_right_logical(bits, 16)
             zraw = jax.lax.dot_general(
                 cnt.astype(jnp.bfloat16), q, (((1,), (0,)), ((), ())),
@@ -766,10 +858,10 @@ def _build_clt_kernel(n_periods: int, n_hist_total: int,
         hacc = jnp.zeros((64, 64), jnp.float32) if with_hist else None
         for s_idx in range(TS):
             tile = iscal[1] + pid * TS + s_idx
-            pltpu.prng_seed(_tile_seed_i32(iscal[0], tile))
+            rng = _TileRng(_tile_seed_i32(iscal[0], tile), impl)
             if not with_strategy:
-                def body(j, prod):
-                    return prod * draw_mix(j)
+                def body(j, prod, rng=rng):
+                    return prod * draw_mix(rng, j)
 
                 prod = jnp.ones((P, K), jnp.float32)
                 if nblocks <= 16:
@@ -803,7 +895,7 @@ def _build_clt_kernel(n_periods: int, n_hist_total: int,
                 carry = jnp.full((P, 1), 1.0, jnp.float32)
                 wsum = jnp.zeros((P, 1), jnp.float32)
                 for j in range(nblocks):
-                    g_raw = draw_mix(j)              # dead cols -> 1
+                    g_raw = draw_mix(rng, j)         # dead cols -> 1
                     k_row = keep_ref[j, :][None, :]  # dead cols padded 1
                     gk = g_raw * k_row
                     if _prefix_impl == "mxu":
@@ -850,7 +942,8 @@ def _build_clt_kernel(n_periods: int, n_hist_total: int,
                     else:
                         carry = carry * incl[:, K - 1:K]
                 finals = v0 * carry
-            finals_ref[s_idx * P:(s_idx + 1) * P, :] = finals
+            if not finals_free:
+                finals_ref[s_idx * P:(s_idx + 1) * P, :] = finals
 
             rows = jax.lax.broadcasted_iota(jnp.int32, (P, 1), 0)
             mask = ((pid * TS + s_idx) * P + rows) < iscal[2]
@@ -917,9 +1010,11 @@ def _build_clt_kernel(n_periods: int, n_hist_total: int,
 def _build_clt_call(n_periods: int, n_hist_total: int, ntiles: int,
                     interpret: bool, with_strategy: bool = False,
                     with_hist: bool = True, keep_fold: bool = False,
-                    prefix_impl: str = "mxu"):
+                    prefix_impl: str = "mxu", impl: str = "hw",
+                    finals_free: bool = False):
     kernel = _build_clt_kernel(n_periods, n_hist_total, with_strategy,
-                               with_hist, keep_fold, prefix_impl)
+                               with_hist, keep_fold, prefix_impl, impl,
+                               finals_free)
     in_specs = [
         pl.BlockSpec(memory_space=pltpu.SMEM),
         pl.BlockSpec(memory_space=pltpu.SMEM),
@@ -933,15 +1028,18 @@ def _build_clt_call(n_periods: int, n_hist_total: int, ntiles: int,
     ts = 1 if with_strategy else CLT_TS
     assert ntiles % ts == 0, (ntiles, ts)
     out_specs = [
-        pl.BlockSpec((ts * p_tile, 1), lambda i: (i, 0),
-                     memory_space=pltpu.VMEM),
         pl.BlockSpec((ts * N_PARTIAL_ROWS, 128), lambda i: (i, 0),
                      memory_space=pltpu.VMEM),
     ]
     out_shape = [
-        jax.ShapeDtypeStruct((ntiles * p_tile, 1), jnp.float32),
         jax.ShapeDtypeStruct((ntiles * N_PARTIAL_ROWS, 128), jnp.float32),
     ]
+    if not finals_free:
+        out_specs.insert(0, pl.BlockSpec((ts * p_tile, 1),
+                                         lambda i: (i, 0),
+                                         memory_space=pltpu.VMEM))
+        out_shape.insert(0, jax.ShapeDtypeStruct((ntiles * p_tile, 1),
+                                                 jnp.float32))
     if with_hist:
         out_specs.append(pl.BlockSpec((64, 64), lambda i: (i, 0),
                                       memory_space=pltpu.VMEM))
@@ -961,9 +1059,10 @@ def _build_clt_call(n_periods: int, n_hist_total: int, ntiles: int,
 def _build_pallas_call(kind: str, strategy_kind: str, n_periods: int,
                        n_table_chunks: int, ntiles: int, interpret: bool,
                        rng_mode: str = "counter", sobol_deep: bool = False,
-                       with_hist: bool = True, ablate: str = ""):
+                       with_hist: bool = True, ablate: str = "",
+                       impl: str = "hw"):
     kernel = _build_kernel(kind, strategy_kind, n_periods, n_table_chunks,
-                           rng_mode, sobol_deep, with_hist, ablate)
+                           rng_mode, sobol_deep, with_hist, ablate, impl)
     is_sobol = kind.startswith("sobol")
     is_hist = kind.endswith("historical")
     has_keep = strategy_kind in ("fixed_percent", "variable_percent")
@@ -1036,7 +1135,7 @@ def _seed_base_i32(root_key):
 _LAW_STREAM_XOR = 0x1A37  # disjoint stream family from the month kernels
 
 
-def _build_law_kernel(with_hist: bool):
+def _build_law_kernel(with_hist: bool, impl: str = "hw"):
     """Ref layout:
       iscal (SMEM i32 (8,)): seed_base, tile0, valid, hb, 0, 0, 0, 0
       fscal (SMEM f32 (8,)): v0, target, hist_log_lo, hist_inv_width,
@@ -1058,12 +1157,12 @@ def _build_law_kernel(with_hist: bool):
 
         pid = pl.program_id(0)
         tile = iscal[1] + pid
-        pltpu.prng_seed(_tile_seed_i32(iscal[0], tile))
+        rng = _TileRng(_tile_seed_i32(iscal[0], tile), impl)
         rr = jax.lax.broadcasted_iota(jnp.int32, (TILE_ROWS, 128), 0)
         ll = jax.lax.broadcasted_iota(jnp.int32, (TILE_ROWS, 128), 1)
         local_id = pid * TILE_PATHS + rr * 128 + ll
 
-        u = _u23_from_bits(pltpu.prng_random_bits((TILE_ROWS, 128)))
+        u = _u23_from_bits(rng.bits((TILE_ROWS, 128)))
         z = jnp.float32(_SQRT2) * _erfinv_poly(2.0 * u - 1.0)
         # u23 keeps |z| <= ~5.54 < LAW_CLAMP by construction; no clamp
         s = z * fscal[5]
@@ -1127,8 +1226,9 @@ def _build_law_kernel(with_hist: bool):
 
 
 @lru_cache(maxsize=8)
-def _build_law_call(ntiles: int, interpret, with_hist: bool):
-    kernel = _build_law_kernel(with_hist)
+def _build_law_call(ntiles: int, interpret, with_hist: bool,
+                    impl: str = "hw"):
+    kernel = _build_law_kernel(with_hist, impl)
     in_specs = [
         pl.BlockSpec(memory_space=pltpu.SMEM),  # iscal
         pl.BlockSpec(memory_space=pltpu.SMEM),  # fscal
@@ -1213,7 +1313,8 @@ if LAW_GROUP > 64:
 _LAW_OH_I8 = os.environ.get("SMMC_LAW_OH", "i8") == "i8"
 
 
-def _build_law_stats_kernel(with_hist: bool, group: int, oh_i8: bool):
+def _build_law_stats_kernel(with_hist: bool, group: int, oh_i8: bool,
+                            impl: str = "hw"):
     """Finals-free terminal-law kernel: same SMEM operands as
     _build_law_kernel; outs are one (N_PARTIAL_ROWS,128) partials row per
     grid step and (with_hist) a single accumulated (64,64) histogram.
@@ -1256,8 +1357,9 @@ def _build_law_stats_kernel(with_hist: bool, group: int, oh_i8: bool):
 
         for g in range(group):
             tile_local = pid * group + g
-            pltpu.prng_seed(_tile_seed_i32(iscal[0], iscal[1] + tile_local))
-            u = _u23_from_bits(pltpu.prng_random_bits((TILE_ROWS, 128)))
+            rng = _TileRng(
+                _tile_seed_i32(iscal[0], iscal[1] + tile_local), impl)
+            u = _u23_from_bits(rng.bits((TILE_ROWS, 128)))
             z = jnp.float32(_SQRT2) * _erfinv_poly(2.0 * u - 1.0)
             # u23 keeps |z| <= ~5.54 < LAW_CLAMP by construction; no clamp
             s = z * fscal[5]
@@ -1317,8 +1419,9 @@ def _build_law_stats_kernel(with_hist: bool, group: int, oh_i8: bool):
 
 @lru_cache(maxsize=16)
 def _build_law_stats_call(nsteps: int, group: int, interpret,
-                          with_hist: bool, oh_i8: bool = _LAW_OH_I8):
-    kernel = _build_law_stats_kernel(with_hist, group, oh_i8)
+                          with_hist: bool, oh_i8: bool = _LAW_OH_I8,
+                          impl: str = "hw"):
+    kernel = _build_law_stats_kernel(with_hist, group, oh_i8, impl)
     in_specs = [
         pl.BlockSpec(memory_space=pltpu.SMEM),  # iscal
         pl.BlockSpec(memory_space=pltpu.SMEM),  # fscal
@@ -1394,7 +1497,7 @@ def _law_chunk_stats(law_op, root_key, v0, path_offset, valid, target,
         group = _law_group(ntiles)
         call = _build_law_stats_call(
             ntiles // group, group, interpret, mxu_hist,
-            _LAW_OH_I8 if oh_i8 is None else oh_i8)
+            _LAW_OH_I8 if oh_i8 is None else oh_i8, prng_impl())
         outs = call(iscal, fscal, law2d)
         p = outs[0].reshape(ntiles // group, N_PARTIAL_ROWS, 128)
         stats = jnp.concatenate([
@@ -1411,7 +1514,7 @@ def _law_chunk_stats(law_op, root_key, v0, path_offset, valid, target,
             hist = jnp.zeros((hb,), jnp.float32)
         return stats, hist
 
-    call = _build_law_call(ntiles, interpret, mxu_hist)
+    call = _build_law_call(ntiles, interpret, mxu_hist, prng_impl())
     outs = call(iscal, fscal, law2d)
     finals2d, partials = outs[0], outs[1]
 
@@ -1484,10 +1587,20 @@ def _clt_chunk_stats(model, strategy, root_key, v0, path_offset, valid,
         keep = jnp.ones((nblocks * CLT_K,), jnp.float32)
         keep = keep.at[:n_periods].set(_keep_factors(strategy, n_periods))
         operands.append(keep.reshape(nblocks, CLT_K))
+    # finals-free fast path (SMMC_CLT_FINALSFREE=1): same streams and
+    # stats/hist contract, no (P,1) finals output — the v15 law-kernel
+    # trade applied to CLT; only valid when nothing consumes finals
+    finals_free = (clt_finals_free() and not keep_finals
+                   and (mxu_hist or not with_hist))
     call = _build_clt_call(n_periods, hb, ntiles, interpret, with_strategy,
-                           mxu_hist, keep_fold, clt_prefix_impl())
+                           mxu_hist, keep_fold, clt_prefix_impl(),
+                           prng_impl(), finals_free)
     outs = call(*operands)
-    finals2d, partials = outs[0], outs[1]
+    if finals_free:
+        finals2d, partials = None, outs[0]
+        outs = (None,) + tuple(outs)  # keep hist at outs[2]
+    else:
+        finals2d, partials = outs[0], outs[1]
 
     p = partials.reshape(ntiles, N_PARTIAL_ROWS, 128)
     stats = jnp.concatenate([
@@ -1613,7 +1726,7 @@ def pallas_chunk_stats(model, strategy, root_key, scramble_key, v0,
     call = _build_pallas_call(
         kind, strategy_kind, n_periods, n_table_chunks, ntiles, interpret,
         getattr(model, "rng", "counter"), sobol_deep, mxu_hist,
-        ablate=hist_ablate_mode(),
+        ablate=hist_ablate_mode(), impl=prng_impl(),
     )
     outs = call(iscal, fscal, *operands)
     finals2d, partials = outs[0], outs[1]

@@ -66,3 +66,83 @@ def test_close_fallback_when_no_adj_close():
     daily = _daily_frame(False).drop(columns=["Adj Close"])
     _, _, returns = monthly_returns_from_daily(daily)
     np.testing.assert_allclose(returns.iloc[1:, 0], 1.0, rtol=1e-9)
+
+
+def _load_onboard_module():
+    import importlib.util
+    import os
+
+    path = os.path.join(os.path.dirname(os.path.dirname(
+        os.path.abspath(__file__))), "scripts", "onboard_real_data.py")
+    spec = importlib.util.spec_from_file_location("onboard_real_data", path)
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+    return mod
+
+
+def test_e2e_fetch_to_engine_pipeline(tmp_path):
+    """End-to-end on a recorded-response-shaped fixture: daily frame ->
+    monthly_returns_from_daily -> CSV (fetcher schema) -> loader ->
+    engine -> stats validated against the exact bootstrap FFT law — the
+    full pipe a first networked machine exercises via
+    scripts/onboard_real_data.py (ref: get_data.py:11-72 feeding
+    simulations.cu:123)."""
+    import stock_market_monte_carlo_tpu as smmc
+    from stock_market_monte_carlo_tpu.ops import analytic as an
+
+    # 150 months of business days with S&P-like noisy monthly levels:
+    # deterministic, but NOT constant — the e2e check needs real variance
+    rng = np.random.default_rng(42)
+    idx = pd.bdate_range("1990-01-01", "2002-06-30", name="Date")
+    month_no = (idx.year - 1990) * 12 + idx.month - 1
+    level = 100.0 * np.cumprod(
+        1.0 + 0.005 + 0.04 * rng.standard_normal(month_no.max() + 1))
+    adj = level[month_no]
+    cols = ["Open", "High", "Low", "Close", "Adj Close", "Volume"]
+    daily = pd.DataFrame({c: adj for c in cols[:-1]}
+                         | {"Volume": np.ones(len(idx))}, index=idx)
+    daily.columns = pd.MultiIndex.from_product(
+        [daily.columns, ["^GSPC"]], names=["Price", "Ticker"])
+
+    _, _, returns = monthly_returns_from_daily(daily)
+    out = tmp_path / "SP500_monthly_returns.csv"
+    returns.to_csv(out)
+
+    table = read_historical_returns(str(out))
+    assert table.shape == (149,)  # leading NaN row dropped
+
+    # onboarding validation + law cross-check on the fixture table
+    onboard = _load_onboard_module()
+    report = []
+    assert onboard.validate_table(table, report), report
+    assert onboard.cross_check_law(table, 1 << 17, 60, report), report
+
+    # and the plain engine surface on the same table
+    model = smmc.HistoricalBootstrap(table)
+    res = smmc.simulate_stats(model, 1 << 16, 60, seed=3)
+    v, cdf = an.bootstrap_final_value_distribution(tuple(
+        np.asarray(table, np.float64)), 60)
+    pmf = np.diff(np.concatenate([[0.0], cdf]))
+    law_mean = float((v * pmf).sum())
+    assert abs(res.mean - law_mean) / law_mean < 0.02
+
+
+def test_onboard_rejects_garbage_table():
+    """The onboarding validator must hard-fail the failure modes that
+    would silently corrupt kernels: NaN rows, fraction-vs-percent
+    confusion, depleting months, too-short tables."""
+    onboard = _load_onboard_module()
+
+    bad_tables = [
+        np.array([np.nan] + [1.0] * 200, np.float32),       # NaN
+        np.array([95.0, -95.0] * 100, np.float32),          # |r| >= 90
+        np.array([-100.0] + [1.0] * 200, np.float32),       # growth <= 0
+        np.array([1.0] * 50, np.float32),                   # too short
+    ]
+    for t in bad_tables:
+        report = []
+        assert not onboard.validate_table(t, report), (t[:3], report)
+
+    report = []
+    good = np.asarray(read_historical_returns(), np.float32)
+    assert onboard.validate_table(good, report), report

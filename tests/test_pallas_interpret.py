@@ -123,3 +123,33 @@ def test_clt_prefix_mxu_matches_roll(monkeypatch):
     assert b.moments.total_withdrawn == pytest.approx(
         a.moments.total_withdrawn, rel=3e-5
     )
+
+
+def test_clt_finals_free_matches_finals_kernel(monkeypatch):
+    """The finals-free CLT kernel (SMMC_CLT_FINALSFREE=1 — no (P,1)
+    finals output, the v15 law-kernel trade) must reproduce the finals
+    kernel's stats and MXU histogram bit for bit on identical NONZERO
+    streams (SMMC_PRNG_IMPL=arith gives the production kernel bodies
+    full-fidelity bits on CPU). Build caches key on both env knobs."""
+    monkeypatch.setenv("SMMC_PRNG_IMPL", "arith")
+    m = smmc.GaussianReturns()
+
+    def run(ff, histogram):
+        monkeypatch.setenv("SMMC_CLT_FINALSFREE", ff)
+        opts = EngineOptions(backend="pallas", gaussian_sampler="clt",
+                             chunk_paths=2 * 8192, histogram=histogram)
+        return smmc.simulate_stats(m, 4 * 8192 - 777, 24, seed=4,
+                                   target_amount=1200.0, options=opts)
+
+    for histogram in (True, False):
+        a = run("0", histogram)
+        b = run("1", histogram)
+        assert a.mean == b.mean
+        assert a.std == b.std
+        assert a.moments.min == b.moments.min
+        assert a.moments.max == b.moments.max
+        assert a.count_below == b.count_below
+        if histogram:
+            np.testing.assert_array_equal(a.histogram_counts,
+                                          b.histogram_counts)
+        assert a.std > 1.0  # nonzero streams, not the interpreter stub

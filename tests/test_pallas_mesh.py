@@ -194,3 +194,104 @@ def test_law_statsonly_grouped_sharded(mesh8):
                             mesh=mesh8)
     _stats_identical(a, b)
     assert a.histogram_counts.sum() == n
+
+
+# ---------------------------------------------------------------------------
+# FULL fidelity for the PRODUCTION counter-mode kernels: SMMC_PRNG_IMPL=
+# arith swaps the opaque hardware PRNG for an in-kernel splitmix counter
+# stream (ops.pallas_engine._arith_bits) keyed by the SAME `_tile_seed_i32`
+# tile seeds the hw kernels use. The kernels below are byte-for-byte the
+# production kernel bodies (only `_TileRng.bits` resolves differently), so
+# these close the zeros-stub gap: the production seeding path produces
+# NONZERO per-path values that must be bit-identical under shard_map and
+# chunk-size changes.
+# ---------------------------------------------------------------------------
+
+
+@pytest.fixture
+def arith_prng(monkeypatch):
+    monkeypatch.setenv("SMMC_PRNG_IMPL", "arith")
+
+
+def test_arith_historical_sliced_rotation_sharded_bitexact(
+        arith_prng, mesh8, historical_table):
+    """Production sliced-rotation bootstrap kernel, nonzero streams,
+    ragged tail: per-path finals sharded == single-device bit for bit."""
+    m = smmc.HistoricalBootstrap(jnp.asarray(historical_table))
+    n, t = 4 * KEY_TILE + 777, 5
+    single = smmc.simulate_final_values(m, n, t, seed=2, options=PALLAS)
+    sharded = smmc.simulate_final_values(m, n, t, seed=2, options=PALLAS,
+                                         mesh=mesh8)
+    assert np.std(np.asarray(single)) > 0  # nonzero stream, not the stub
+    np.testing.assert_array_equal(single, sharded)
+    a = smmc.simulate_stats(m, n, t, seed=2, target_amount=1200.0,
+                            options=PALLAS)
+    b = smmc.simulate_stats(m, n, t, seed=2, target_amount=1200.0,
+                            options=PALLAS, mesh=mesh8)
+    _stats_identical(a, b)
+
+
+def test_arith_gaussian_clt_sharded_bitexact(arith_prng, mesh8):
+    """Production CLT MXU kernel with nonzero streams under shard_map."""
+    opts = EngineOptions(backend="pallas", chunk_paths=KEY_TILE,
+                         gaussian_sampler="clt")
+    m = smmc.GaussianReturns()
+    n, t = 8 * KEY_TILE, 4
+    single = smmc.simulate_final_values(m, n, t, seed=3, options=opts)
+    sharded = smmc.simulate_final_values(m, n, t, seed=3, options=opts,
+                                         mesh=mesh8)
+    assert np.std(np.asarray(single)) > 0
+    np.testing.assert_array_equal(single, sharded)
+    # statistical sanity of the arith stream: mean within MC error of
+    # the analytic 1000*(1.005)^4
+    analytic = 1000.0 * 1.005 ** t
+    assert abs(np.mean(np.asarray(single)) - analytic) < 0.5
+
+
+def test_arith_gaussian_icdf_strategy_sharded(arith_prng, mesh8):
+    """Exact-ICDF kernel + withdrawal strategy, nonzero streams: stats
+    and withdrawn totals identical across sharding."""
+    m = smmc.GaussianReturns()
+    n, t = 8 * KEY_TILE, 4
+    a = smmc.simulate_stats(m, n, t, seed=5,
+                            strategy=FixedPercentWithdrawal(1.0),
+                            options=PALLAS)
+    b = smmc.simulate_stats(m, n, t, seed=5,
+                            strategy=FixedPercentWithdrawal(1.0),
+                            options=PALLAS, mesh=mesh8)
+    assert a.std > 1.0  # nonzero stream
+    _stats_identical(a, b)
+    np.testing.assert_allclose(a.moments.total_withdrawn,
+                               b.moments.total_withdrawn, rtol=1e-6)
+
+
+def test_arith_law_sharded_bitexact(arith_prng, mesh8):
+    """Terminal-law kernels (finals + finals-free grouped stats) with
+    nonzero streams under shard_map."""
+    opts = EngineOptions(backend="pallas", terminal_law=True,
+                         chunk_paths=KEY_TILE)
+    m = smmc.GaussianReturns()
+    n, t = 8 * KEY_TILE, 360
+    single = smmc.simulate_final_values(m, n, t, seed=6, options=opts)
+    sharded = smmc.simulate_final_values(m, n, t, seed=6, options=opts,
+                                         mesh=mesh8)
+    assert np.std(np.asarray(single)) > 0
+    np.testing.assert_array_equal(single, sharded)
+    a = smmc.simulate_stats(m, n, t, seed=6, target_amount=2000.0,
+                            options=opts)
+    b = smmc.simulate_stats(m, n, t, seed=6, target_amount=2000.0,
+                            options=opts, mesh=mesh8)
+    _stats_identical(a, b)
+    assert a.histogram_counts.sum() == n
+
+
+def test_arith_chunk_size_invariance(arith_prng, historical_table):
+    """The arith stream is keyed by global tile position exactly like the
+    hw stream, so chunk size must not change any per-path value."""
+    m = smmc.HistoricalBootstrap(jnp.asarray(historical_table))
+    n, t = 2 * KEY_TILE + 777, 4
+    small = EngineOptions(backend="pallas", chunk_paths=KEY_TILE)
+    big = EngineOptions(backend="pallas", chunk_paths=4 * KEY_TILE)
+    np.testing.assert_array_equal(
+        smmc.simulate_final_values(m, n, t, seed=9, options=small),
+        smmc.simulate_final_values(m, n, t, seed=9, options=big))
