@@ -479,3 +479,46 @@ def test_law_statsonly_matches_finals_kernel_hardware():
     assert abs(a.std / b.std - 1.0) < 1e-5
     # the finals themselves are the law quantile of each path's draw
     assert b.final_values is not None and len(b.final_values) == n
+
+
+def test_arith_stream_matches_cpu_golden(monkeypatch):
+    """Cross-backend reproducibility of the arith counter stream on the
+    real chip against CPU-generated goldens (tests/test_arith_golden.py):
+    the historical kernel (gather/select/multiply only — elementwise IEEE
+    ops) must match BIT FOR BIT; CLT (MXU matmul, exp/log) and the
+    terminal law (exp) carry tight relative bars because those lowerings
+    legitimately differ per backend."""
+    import stock_market_monte_carlo_tpu as smmc
+    from stock_market_monte_carlo_tpu.config import EngineOptions
+    from tests.test_arith_golden import GOLDEN, N
+
+    monkeypatch.setenv("SMMC_PRNG_IMPL", "arith")
+
+    def finals(name):
+        kw = {}
+        if name == "historical":
+            model = smmc.HistoricalBootstrap.from_csv()
+        else:
+            model = smmc.GaussianReturns()
+            if name == "clt":
+                kw["gaussian_sampler"] = "clt"
+            else:
+                kw["terminal_law"] = True
+        opts = EngineOptions(backend="pallas", chunk_paths=8192, **kw)
+        return np.asarray(smmc.simulate_final_values(
+            model, N, GOLDEN[name]["t"], seed=12, options=opts))
+
+    f = finals("historical")
+    g = GOLDEN["historical"]
+    np.testing.assert_array_equal(f[:4], np.float32(g["head"]))
+    for idx, val in g["probes"].items():
+        assert f[idx] == np.float32(val), ("historical", idx, f[idx])
+    assert float(np.sum(f, dtype=np.float64)) == pytest.approx(
+        g["total"], rel=1e-12)
+
+    for name, rel in (("clt", 2e-5), ("law", 2e-5)):
+        f = finals(name)
+        g = GOLDEN[name]
+        np.testing.assert_allclose(f[:4], np.float32(g["head"]), rtol=rel)
+        assert float(np.sum(f, dtype=np.float64)) == pytest.approx(
+            g["total"], rel=rel)
