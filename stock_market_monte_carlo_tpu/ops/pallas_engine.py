@@ -1283,11 +1283,15 @@ def _build_law_call(ntiles: int, interpret, with_hist: bool,
 # More tiles per step amortize the per-grid-step overhead (~44 us/step:
 # the 5.6 ms/chunk do-nothing floor at 128 steps, optimization_log v15)
 # over more work at the cost of a longer unrolled body. 16 was the v15
-# choice; the env knob exists for measurement (experiments/
-# exp_law_group.py). Seeding is per-global-tile either way, so the
-# group size cannot change any sampled stream — only f32 association
-# of the moment rows (counts/min/max/histogram stay exact).
-LAW_GROUP = int(os.environ.get("SMMC_LAW_GROUP", "16"))
+# choice; 32 measured ~17% faster under clean back-to-back fresh-process
+# min-of-5 timing (0.0895 vs 0.1075 s at 100M x 360, identical
+# statistics — optimization_log v23/v24; the v20 "fresh-process stall"
+# that blocked this flip was a service-side per-process first-compile
+# stall, not the kernel). The env knob remains for measurement
+# (experiments/exp_law_group.py). Seeding is per-global-tile either
+# way, so the group size cannot change any sampled stream — only f32
+# association of the moment rows (counts/min/max/histogram stay exact).
+LAW_GROUP = int(os.environ.get("SMMC_LAW_GROUP", "32"))
 if LAW_GROUP < 1 or (LAW_GROUP & (LAW_GROUP - 1)) != 0:
     raise ValueError(f"SMMC_LAW_GROUP must be a power of two, got {LAW_GROUP}")
 # Practical ceiling: the group-64 body took 6m41 to compile on XLA CPU
