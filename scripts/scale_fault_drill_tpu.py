@@ -58,20 +58,40 @@ def scale_runs(quick: bool):
     out = {}
 
     # --- 1e10 terminal-law (full stats + 4096-bin histogram) ------------
+    # A single run is capped at 2^32 - 2^24 paths by the uint32
+    # global-path-offset space (engine._validate_run); the documented
+    # pattern past that is splitting over seeds. The histogram spec is
+    # analytic (model + horizon, engine._histogram_spec), so counts from
+    # the splits add exactly; moments merge in float64 on the host.
     n_law = 10_000_000_000 // (10 if quick else 1)
+    split = 4_000_000_000 // (10 if quick else 1)
+    parts = [(seed, min(split, n_law - i * split))
+             for i, seed in enumerate((7, 107, 207))
+             if i * split < n_law]
     opts_law = EngineOptions(chunk_paths=2 ** 24, terminal_law=True)
     smmc.simulate_stats(hist, 2 ** 24, 360, seed=1, options=opts_law)  # warm
     t0 = time.perf_counter()
-    res = smmc.simulate_stats(hist, n_law, 360, seed=7,
-                              target_amount=2000.0, options=opts_law)
+    results = [smmc.simulate_stats(hist, n_i, 360, seed=s,
+                                   target_amount=2000.0, options=opts_law)
+               for s, n_i in parts]
     dt = time.perf_counter() - t0
+    ns = np.array([r.n_paths for r in results], np.float64)
+    means = np.array([r.mean for r in results])
+    ex2 = np.array([r.moments.var + r.mean ** 2 for r in results])
+    mean = float((ns * means).sum() / ns.sum())
+    var = float((ns * ex2).sum() / ns.sum() - mean ** 2)
+    hist_counts = sum(np.asarray(r.histogram_counts, np.int64)
+                      for r in results)
+    chunks = sum(-(-n_i // 2 ** 24) for _, n_i in parts)
     out["terminal_law_10B"] = {
         "n_paths": n_law, "n_periods": 360, "wall_s": round(dt, 3),
         "paths_per_s": round(n_law / dt, 1),
-        "mean": round(res.mean, 2), "std": round(res.std, 2),
-        "hist_sum": float(np.asarray(res.histogram_counts).sum()),
-        "chunks": -(-n_law // 2 ** 24),
-        "defer_flushes": max(0, -(-n_law // 2 ** 24) // 256),
+        "seed_splits": [{"seed": s, "n_paths": n_i} for s, n_i in parts],
+        "mean": round(mean, 2), "std": round(float(np.sqrt(var)), 2),
+        "count_below_2000": int(sum(r.count_below for r in results)),
+        "hist_sum": float(hist_counts.sum()),
+        "chunks": chunks,
+        "defer_flushes": max(0, chunks // 256),
         "hbm": _hbm_stats(),
     }
     assert out["terminal_law_10B"]["hist_sum"] == n_law
@@ -103,7 +123,8 @@ def _child_run(n_paths: int, ckpt: str):
     hist = smmc.HistoricalBootstrap.from_csv()
 
     def progress(done, total):
-        print(f"CHUNK {done}/{total}", flush=True)
+        # progress reports PATHS done; emit chunk indices for the parent
+        print(f"CHUNK {done // 2 ** 24}/{-(-total // 2 ** 24)}", flush=True)
 
     res = smmc.simulate_stats(
         hist, n_paths, 360, seed=11, target_amount=2000.0,
