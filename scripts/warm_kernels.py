@@ -103,6 +103,30 @@ def main():
     finally:
         del os.environ["SMMC_CLT_FINALSFREE"]
 
+    # fused multi-chunk dispatch (EngineOptions.fuse_chunks): 100M-class
+    # runs binary-decompose 6 chunks into scan blocks of 4 + 2 — one XLA
+    # program per (kernel config, block size). The Mosaic kernel inside
+    # the scan is the already-warmed body (cache hit); this warms the
+    # surrounding XLA scan programs bench.py dispatches.
+    fused_jobs = [
+        ("fused law historical", hist, opts(terminal_law=True)),
+        ("fused law hist. no-hist", hist,
+         opts(terminal_law=True, histogram=False)),
+        ("fused law gauss", gauss, opts(terminal_law=True)),
+        ("fused historical", hist, opts()),
+        ("fused historical no-hist", hist, opts(histogram=False)),
+        ("fused gauss icdf", gauss, opts()),
+        ("fused gauss clt", gauss, opts(gaussian_sampler="clt")),
+        ("fused gauss clt no-hist", gauss,
+         opts(gaussian_sampler="clt", histogram=False)),
+    ]
+    for name, model, o in fused_jobs:
+        t0 = time.perf_counter()
+        r = smmc.simulate_stats(model, 6 * CHUNK, T, seed=1,
+                                target_amount=2000.0, options=o)
+        _ = r.mean
+        print(f"  {name:24s} {time.perf_counter() - t0:7.1f} s")
+
     # the do-nothing grid toy bench.py uses as its dispatch floor
     t0 = time.perf_counter()
     from experiments.exp_grid_overhead import _make

@@ -102,6 +102,20 @@ class EngineOptions:
     # sliced-rotation exact kernel is both faster — its gather is cheap —
     # and exact, so the approximation had no winning configuration.
     # Full measurements: docs/optimization_log.md v10.)
+    # Max chunks fused into ONE device dispatch (a lax.scan over the
+    # chunk body) when nothing consumes per-chunk results — the same
+    # condition as deferred absorb (no stream/progress/checkpoint/
+    # keep_final_values). Each dispatch through a remote-device tunnel
+    # pays a measured ~5-8 ms floor even when queued back-to-back
+    # (experiments/exp_dispatch_overhead.py), which dominates kernels
+    # whose per-chunk device time is smaller (terminal-law: ~4 ms).
+    # Fusing emits the identical per-chunk (stats, histogram) rows
+    # stacked, so host float64 merges run in the same order on the same
+    # f32 values — results are BIT-IDENTICAL to unfused dispatch.
+    # Blocks are binary-decomposed (largest power of two <= chunks
+    # remaining, capped here), so at most one XLA program per power of
+    # two is compiled and no padded compute is wasted. 0 or 1 disables.
+    fuse_chunks: int = 64
     # Device->host dtype for exported trajectories (run(keep_trajectories),
     # simulate_paths). "bfloat16" halves the transfer bytes — the
     # bottleneck for keepdata exports in tunnel-bound environments
@@ -134,6 +148,15 @@ class EngineOptions:
             raise ValueError(
                 "chunk_paths must be <= 2**24 to keep on-device f32 path "
                 f"counts exact, got {self.chunk_paths}"
+            )
+        if not (0 <= self.fuse_chunks <= 64
+                and (self.fuse_chunks & (self.fuse_chunks - 1)) == 0):
+            # power of two keeps the compiled-shape set to at most
+            # log2(cap) scan lengths; the cap bounds per-dispatch device
+            # occupancy (64 x 2^24 = 1.07e9 paths in one dispatch)
+            raise ValueError(
+                "fuse_chunks must be a power of two <= 64 (0/1 disables),"
+                f" got {self.fuse_chunks}"
             )
         if self.gaussian_sampler not in ("icdf", "clt", "clt-prefix"):
             raise ValueError(

@@ -386,7 +386,8 @@ _CHUNK_FN_CACHE = {}
 
 def _get_chunk_fn(model_kind, strategy_kind, n_periods, chunk_b, spec,
                   keep_finals, mesh: Optional[Mesh], backend: str,
-                  sampler: str = "icdf", with_hist: bool = True):
+                  sampler: str = "icdf", with_hist: bool = True,
+                  fuse_g: int = 1):
     # Key the mesh by contents (axis names + shape + device ids), not
     # identity: id() of a garbage-collected Mesh can be reused by CPython,
     # which would hand back a compiled fn bound to a dead mesh.
@@ -416,7 +417,7 @@ def _get_chunk_fn(model_kind, strategy_kind, n_periods, chunk_b, spec,
                       pallas_engine.clt_finals_free())
     cache_key = (
         model_kind, strategy_kind, n_periods, chunk_b, spec, keep_finals,
-        mesh_key, backend, sampler_key, with_hist, ablate_key,
+        mesh_key, backend, sampler_key, with_hist, ablate_key, fuse_g,
     )
     fn = _CHUNK_FN_CACHE.get(cache_key)
     if fn is not None:
@@ -447,17 +448,39 @@ def _get_chunk_fn(model_kind, strategy_kind, n_periods, chunk_b, spec,
             sampler=sampler,
         )
 
+    assert fuse_g == 1 or not keep_finals, (
+        "fused dispatch never collects finals (engine gates it on the "
+        "deferred-absorb condition)"
+    )
+
     if mesh is None:
-        fn = jax.jit(base)
+        if fuse_g == 1:
+            fn = jax.jit(base)
+        else:
+            def fused(model, strategy, root_key, scramble_key, v0,
+                      offsets, valids, target, shift):
+                # One dispatch covering fuse_g chunks: scan over the
+                # per-chunk (offset, valid) descriptors and STACK the
+                # identical per-chunk (stats, hist) rows the unfused
+                # path would have produced — the host absorbs each row
+                # with the same float64 math in the same order, so
+                # results are bit-identical to per-chunk dispatch.
+                def body(carry, ov):
+                    off, vld = ov
+                    return carry, base(
+                        model, strategy, root_key, scramble_key, v0,
+                        off, vld, target, shift,
+                    )
+                _, outs = jax.lax.scan(
+                    body, jnp.int32(0), (offsets, valids)
+                )
+                return outs
+
+            fn = jax.jit(fused)
     else:
         axis = mesh.axis_names[0]
 
-        def device_fn(model, strategy, root_key, scramble_key, v0,
-                      offsets, valids, target, shift):
-            out = base(
-                model, strategy, root_key, scramble_key, v0,
-                offsets[0], valids[0], target, shift,
-            )
+        def merge_one(out):
             s = out[0]
             # Exact cross-device merge over ICI: float sums psum in f32,
             # extrema pmin/pmax. COUNTS (row 0 = n, row 7 = count_below)
@@ -483,9 +506,41 @@ def _get_chunk_fn(model_kind, strategy_kind, n_periods, chunk_b, spec,
             # histogram counts: same exactness argument — int32 psum
             # (per-device cells are exact f32 integers <= 2^24)
             hist = jax.lax.psum(out[1].astype(jnp.int32), axis)
-            if keep_finals:
-                return stats, hist, out[2]
             return stats, hist
+
+        if fuse_g == 1:
+            def device_fn(model, strategy, root_key, scramble_key, v0,
+                          offsets, valids, target, shift):
+                out = base(
+                    model, strategy, root_key, scramble_key, v0,
+                    offsets[0], valids[0], target, shift,
+                )
+                stats, hist = merge_one(out)
+                if keep_finals:
+                    return stats, hist, out[2]
+                return stats, hist
+
+            in_off_spec = P(axis)
+        else:
+            def device_fn(model, strategy, root_key, scramble_key, v0,
+                          offsets, valids, target, shift):
+                # offsets/valids: (fuse_g, n_dev) sharded on axis 1 →
+                # local (fuse_g, 1). Scan over the fuse_g chunk slots;
+                # the per-chunk ICI merges run inside the scan body, so
+                # each stacked row equals the unfused dispatch's output.
+                def body(carry, ov):
+                    off, vld = ov
+                    out = base(
+                        model, strategy, root_key, scramble_key, v0,
+                        off, vld, target, shift,
+                    )
+                    return carry, merge_one(out)
+                _, outs = jax.lax.scan(
+                    body, jnp.int32(0), (offsets[:, 0], valids[:, 0])
+                )
+                return outs
+
+            in_off_spec = P(None, axis)
 
         rep = P()
         out_specs = (rep, rep, P(axis)) if keep_finals else (rep, rep)
@@ -493,8 +548,8 @@ def _get_chunk_fn(model_kind, strategy_kind, n_periods, chunk_b, spec,
             jax.shard_map(
                 device_fn,
                 mesh=mesh,
-                in_specs=(rep, rep, rep, rep, rep, P(axis), P(axis), rep,
-                          rep),
+                in_specs=(rep, rep, rep, rep, rep, in_off_spec,
+                          in_off_spec, rep, rep),
                 out_specs=out_specs,
                 # pallas_call outputs carry no varying-mesh-axes metadata,
                 # which the jax-0.9 vma checker rejects under shard_map;
@@ -836,26 +891,39 @@ def simulate_stats(
     # same f64 host merges in dispatch order (bit-identical results).
     defer_absorb = (stream is None and progress is None
                     and checkpoint_path is None and not keep_finals)
-    deferred = []  # (arrays, paths_done_after, valid, offset_after)
+    # Fused dispatch rides the same condition: when nothing consumes
+    # per-chunk results, up to options.fuse_chunks chunks run as ONE
+    # device dispatch (lax.scan over the chunk body, _get_chunk_fn
+    # fuse_g) — identical per-chunk rows, stacked, so the f64 host
+    # merges below see the same values in the same order. One dispatch
+    # through the tunnel costs a measured ~5-8 ms floor even queued
+    # (exp_dispatch_overhead), which dominates sub-10 ms kernels.
+    fuse_max = options.fuse_chunks if defer_absorb else 1
+    # each entry: (stats_rows (g, 9), hist_rows (g, n_bins+2),
+    #              [(paths_done_after, valid), ...] of length g)
+    deferred = []
+    deferred_chunks = 0
 
     def _flush_deferred():
         # ONE tunnel round-trip per output kind for the queued chunks,
         # then the identical sequential f64 merges (same order, same
         # math as the per-chunk path — results are bit-identical to it)
-        nonlocal total_stats, total_hist, done
+        nonlocal total_stats, total_hist, done, deferred_chunks
         if not deferred:
             return
         s_all, h_all = jax.device_get((
-            jnp.stack([d[0][0] for d in deferred]),
-            jnp.stack([d[0][1] for d in deferred]),
+            jnp.concatenate([d[0] for d in deferred]),
+            jnp.concatenate([d[1] for d in deferred]),
         ))
-        for i, d in enumerate(deferred):
+        metas = [m for d in deferred for m in d[2]]
+        for i, (done_after, valid) in enumerate(metas):
             total_stats, total_hist, done = _absorb(
-                ((s_all[i], h_all[i]), d[1], d[2]), total_stats,
+                ((s_all[i], h_all[i]), done_after, valid), total_stats,
                 total_hist, finals_parts, keep_finals, stat_scale,
                 shift_c, mesh_counts=mesh is not None,
             )
         deferred.clear()
+        deferred_chunks = 0
 
     fingerprint = None
     if checkpoint_path is not None:
@@ -929,6 +997,69 @@ def simulate_stats(
     shift_j = jnp.float32(shift_c)
 
     while remaining > 0:
+        chunks_left = -(-remaining // per_dispatch)
+        if fuse_max > 1 and chunks_left >= 2:
+            # Fused block: the largest power of two <= min(fuse_max,
+            # chunks_left) full-shape chunks in ONE dispatch. Binary
+            # decomposition compiles at most one scan length per power
+            # of two and never pads (the ragged tail rides the last
+            # chunk's valid mask exactly as in unfused dispatch).
+            g = min(fuse_max, 1 << (chunks_left.bit_length() - 1))
+        else:
+            g = 1
+        if g >= 2:
+            b = chunk_b  # chunks_left >= 2 implies n_paths > per_dispatch
+            fn = _get_chunk_fn(
+                (model.kind, getattr(model, "rng", "counter")),
+                strategy.kind, n_periods, b, spec, keep_finals,
+                mesh, backend,
+                _effective_sampler(model, strategy, backend, options),
+                options.histogram, fuse_g=g,
+            )
+            tvts = [min(remaining - i * per_dispatch, per_dispatch)
+                    for i in range(g)]
+            np_off1 = np.uint32(offset) + np.uint32(b * n_dev) * np.arange(
+                g, dtype=np.uint32
+            )
+            if mesh is None:
+                out = fn(
+                    model, strategy, root_key, scramble_key, v0,
+                    jnp.asarray(np_off1),
+                    jnp.asarray(np.array(tvts, np.int32)), target, shift_j,
+                )
+            else:
+                np_off = (np_off1[:, None] + np.uint32(b)
+                          * np.arange(n_dev, dtype=np.uint32)[None, :])
+                np_val = np.clip(
+                    np.array(tvts, np.int64)[:, None]
+                    - np.int64(b) * np.arange(n_dev, dtype=np.int64)[None, :],
+                    0, b,
+                ).astype(np.int32)
+                shard = jax.sharding.NamedSharding(
+                    mesh, P(None, mesh.axis_names[0])
+                )
+                offsets = jax.make_array_from_callback(
+                    (g, n_dev), shard, lambda i: np_off[i]
+                )
+                valids = jax.make_array_from_callback(
+                    (g, n_dev), shard, lambda i: np_val[i]
+                )
+                out = fn(
+                    model, strategy, root_key, scramble_key, v0,
+                    offsets, valids, target, shift_j,
+                )
+            metas = []
+            for tvt in tvts:
+                done += tvt
+                metas.append((done, tvt))
+            deferred.append((out[0], out[1], metas))
+            deferred_chunks += g
+            offset += g * b * n_dev
+            remaining -= sum(tvts)
+            if deferred_chunks >= _DEFER_FLUSH_CHUNKS:
+                _flush_deferred()
+            continue
+
         this_valid_total = min(remaining, per_dispatch)
         # Shape policy: a run larger than one dispatch uses ONE fixed chunk
         # shape throughout — the ragged tail is padded with masked paths
@@ -985,12 +1116,13 @@ def simulate_stats(
             )
 
         if defer_absorb:
-            deferred.append((out, done + this_valid_total,
-                             this_valid_total, offset + b * n_dev))
+            deferred.append((out[0][None], out[1][None],
+                             [(done + this_valid_total, this_valid_total)]))
+            deferred_chunks += 1
             done += this_valid_total
             offset += b * n_dev
             remaining -= this_valid_total
-            if len(deferred) >= _DEFER_FLUSH_CHUNKS:
+            if deferred_chunks >= _DEFER_FLUSH_CHUNKS:
                 # bound the queue: each queued chunk holds a live
                 # (n_bins+2,) histogram on device, so an unbounded queue
                 # makes HBM (and the final stack) O(n_chunks) — at 256
