@@ -58,38 +58,32 @@ def scale_runs(quick: bool):
     out = {}
 
     # --- 1e10 terminal-law (full stats + 4096-bin histogram) ------------
-    # A single run is capped at 2^32 - 2^24 paths by the uint32
-    # global-path-offset space (engine._validate_run); the documented
-    # pattern past that is splitting over seeds. The histogram spec is
-    # analytic (model + horizon, engine._histogram_spec), so counts from
-    # the splits add exactly; moments merge in float64 on the host.
+    # ONE call: seed segmentation (EngineOptions.seed_segment_paths,
+    # default 2^31) lifts the uint32 global-path-offset cap that used to
+    # force splitting this run over three seeds — 1e10 paths runs as 5
+    # seed segments whose statistics merge exactly in float64 on the
+    # host. Fused dispatch (fuse_chunks=64) batches the ~598 chunks into
+    # ~a dozen device dispatches, amortizing the measured ~5-8 ms
+    # per-dispatch tunnel floor that dominated the unfused 5.12 s run
+    # (optimization_log v25).
     n_law = 10_000_000_000 // (10 if quick else 1)
-    split = 4_000_000_000 // (10 if quick else 1)
-    parts = [(seed, min(split, n_law - i * split))
-             for i, seed in enumerate((7, 107, 207))
-             if i * split < n_law]
     opts_law = EngineOptions(chunk_paths=2 ** 24, terminal_law=True)
     smmc.simulate_stats(hist, 2 ** 24, 360, seed=1, options=opts_law)  # warm
+    # warm the fused scan lengths this run will use (once per power of 2)
+    smmc.simulate_stats(hist, 6 * 2 ** 24, 360, seed=1, options=opts_law)
     t0 = time.perf_counter()
-    results = [smmc.simulate_stats(hist, n_i, 360, seed=s,
-                                   target_amount=2000.0, options=opts_law)
-               for s, n_i in parts]
+    r = smmc.simulate_stats(hist, n_law, 360, seed=7,
+                            target_amount=2000.0, options=opts_law)
     dt = time.perf_counter() - t0
-    ns = np.array([r.n_paths for r in results], np.float64)
-    means = np.array([r.mean for r in results])
-    ex2 = np.array([r.moments.var + r.mean ** 2 for r in results])
-    mean = float((ns * means).sum() / ns.sum())
-    var = float((ns * ex2).sum() / ns.sum() - mean ** 2)
-    hist_counts = sum(np.asarray(r.histogram_counts, np.int64)
-                      for r in results)
-    chunks = sum(-(-n_i // 2 ** 24) for _, n_i in parts)
+    chunks = -(-n_law // 2 ** 24)
     out["terminal_law_10B"] = {
         "n_paths": n_law, "n_periods": 360, "wall_s": round(dt, 3),
         "paths_per_s": round(n_law / dt, 1),
-        "seed_splits": [{"seed": s, "n_paths": n_i} for s, n_i in parts],
-        "mean": round(mean, 2), "std": round(float(np.sqrt(var)), 2),
-        "count_below_2000": int(sum(r.count_below for r in results)),
-        "hist_sum": float(hist_counts.sum()),
+        "seed_segments": -(-n_law // (1 << 31)),
+        "fuse_chunks": opts_law.fuse_chunks,
+        "mean": round(r.mean, 2), "std": round(r.std, 2),
+        "count_below_2000": int(r.count_below),
+        "hist_sum": float(np.asarray(r.histogram_counts).sum()),
         "chunks": chunks,
         "defer_flushes": max(0, chunks // 256),
         "hbm": _hbm_stats(),

@@ -127,6 +127,21 @@ def main():
         _ = r.mean
         print(f"  {name:24s} {time.perf_counter() - t0:7.1f} s")
 
+    # billion-path-class fused blocks: the 1e10 law run (seed segments
+    # of 2^31 = 128 chunks) dispatches scan lengths 64/16, the 1e9
+    # month-loop 32/16/8/4 (scripts/scale_fault_drill_tpu.py). 124
+    # chunks = 64+32+16+8+4 warms every power of two >= 4 in one call.
+    big_jobs = [
+        ("fused law historical x124", hist, opts(terminal_law=True)),
+        ("fused historical x124", hist, opts()),
+    ]
+    for name, model, o in big_jobs:
+        t0 = time.perf_counter()
+        r = smmc.simulate_stats(model, 124 * CHUNK, T, seed=1,
+                                target_amount=2000.0, options=o)
+        _ = r.mean
+        print(f"  {name:24s} {time.perf_counter() - t0:7.1f} s")
+
     # the do-nothing grid toy bench.py uses as its dispatch floor
     t0 = time.perf_counter()
     from experiments.exp_grid_overhead import _make

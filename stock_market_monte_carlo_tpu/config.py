@@ -116,6 +116,26 @@ class EngineOptions:
     # remaining, capped here), so at most one XLA program per power of
     # two is compiled and no padded compute is wasted. 0 or 1 disables.
     fuse_chunks: int = 64
+    # Paths per seed segment. simulate_stats runs larger n_paths as a
+    # sequence of segments of this size, each drawing from an
+    # independent stream (segment 0 uses the plain seed key — runs at or
+    # below one segment are bit-identical to a build without
+    # segmentation; segment s >= 1 folds s into the key:
+    # engine._seg_root). This lifts the uint32 global-path-offset cap
+    # (~4.29e9 paths) that previously forced manual seed splitting: a
+    # 1e10-path run is now one call whose statistics merge exactly in
+    # float64 on the host, and whose result is invariant to chunk size,
+    # fuse_chunks, device count, and checkpoint/resume — the same
+    # invariants as within-segment chunking. The default 2^31 keeps the
+    # per-segment offset space comfortably inside uint32 for any legal
+    # chunk size. Changing it changes the sampled streams of runs larger
+    # than one segment (the value is part of the checkpoint fingerprint
+    # for such runs); it does NOT affect runs that fit in one segment.
+    # Excluded: Sobol models (their documented split mechanism is
+    # index_offset over the 2^62 sequence) and reference-parity rng
+    # (streams depend only on the global path id, so a fresh segment
+    # would REPEAT segment 0's paths — simulate_stats refuses).
+    seed_segment_paths: int = 1 << 31
     # Device->host dtype for exported trajectories (run(keep_trajectories),
     # simulate_paths). "bfloat16" halves the transfer bytes — the
     # bottleneck for keepdata exports in tunnel-bound environments
@@ -157,6 +177,14 @@ class EngineOptions:
             raise ValueError(
                 "fuse_chunks must be a power of two <= 64 (0/1 disables),"
                 f" got {self.fuse_chunks}"
+            )
+        if (self.seed_segment_paths <= 0
+                or self.seed_segment_paths % 8192 != 0):
+            # tile alignment keeps segment starts on RNG-tile boundaries
+            # for every kernel family (8192/4096/2048 all divide 8192)
+            raise ValueError(
+                "seed_segment_paths must be a positive multiple of 8192, "
+                f"got {self.seed_segment_paths}"
             )
         if self.gaussian_sampler not in ("icdf", "clt", "clt-prefix"):
             raise ValueError(

@@ -62,6 +62,11 @@ KEY_TILE = rng_ops.KEY_TILE
 # path run is ~60k chunks whose queued histograms would hold ~1 GB HBM
 _DEFER_FLUSH_CHUNKS = 256
 
+# fold_in tag for seed-segment root keys (segment s >= 1 uses
+# fold_in(key(seed), _SEG_FOLD + s)); disjoint by construction from the
+# 0x50B0 scramble fold and small user data values
+_SEG_FOLD = 0x5E6C0000
+
 # ---------------------------------------------------------------------------
 # Host-side analytics used to place histogram bins.
 # ---------------------------------------------------------------------------
@@ -645,18 +650,42 @@ def _validate_terminal_law(model, strategy, options) -> None:
 
 
 def _validate_run(model, n_paths: int, per_dispatch: int,
-                  n_periods: int, draws_bootstrap: bool = True) -> None:
+                  n_periods: int, draws_bootstrap: bool = True,
+                  seg_paths: Optional[int] = None) -> None:
     """Hard limits of the RNG index spaces — oversized runs must error, not
     silently wrap (global path offsets are uint32; the Sobol sequence index
     is 32-bit: ops/sobol.py). ``draws_bootstrap=False`` skips the
     bootstrap-table row limit for paths that never run the umulhi index
     map (the terminal-law sampler only draws normals through the fitted
-    quantile function; its FFT oracle handles any table size)."""
+    quantile function; its FFT oracle handles any table size).
+    ``seg_paths`` (simulate_stats only) arms seed segmentation: runs
+    larger than one segment re-key each segment's stream
+    (EngineOptions.seed_segment_paths), so only the per-SEGMENT offset
+    space must fit in uint32 — n_paths itself becomes unbounded for
+    counter-rng models."""
     if n_paths <= 0:
         raise ValueError(f"n_paths must be positive, got {n_paths}")
     if n_periods <= 0:
         raise ValueError(f"n_periods must be positive, got {n_periods}")
-    if n_paths > (1 << 32) - per_dispatch:
+    segmented = (seg_paths is not None and n_paths > seg_paths
+                 and not getattr(model, "is_quasi", False))
+    if segmented:
+        if getattr(model, "rng", "counter") == "reference":
+            raise ValueError(
+                f"n_paths={n_paths} exceeds one seed segment "
+                f"({seg_paths}), but reference-parity rng streams depend "
+                "only on the global path id (src/simulations.cu:140: "
+                "seed = rand_pcg(tid+1)) — a fresh segment would repeat "
+                "segment 0's paths exactly. Cap n_paths or run counter "
+                "rng"
+            )
+        if seg_paths > (1 << 32) - per_dispatch:
+            raise ValueError(
+                f"seed_segment_paths={seg_paths} leaves no uint32 offset "
+                f"headroom for a {per_dispatch}-path dispatch; lower "
+                "seed_segment_paths or chunk_paths"
+            )
+    elif n_paths > (1 << 32) - per_dispatch:
         raise ValueError(
             f"n_paths={n_paths} exceeds the uint32 global-path-offset space "
             f"(limit {(1 << 32) - per_dispatch} at this chunk size); split "
@@ -813,6 +842,17 @@ def simulate_stats(
     boundary with identical results (counter-based RNG makes chunks
     independent of execution history). The reference has no such mechanism
     (SURVEY.md section 5: checkpoint/resume "None").
+
+    ``n_paths`` is unbounded for counter-rng models: runs larger than
+    ``EngineOptions.seed_segment_paths`` (default 2^31) are partitioned
+    into seed segments, each drawing an independent stream (segment 0 =
+    the plain seed key, so sub-segment runs are unchanged), merged with
+    the same exact float64 host reductions that combine chunks — a
+    1e10-path call needs no manual seed splitting and keeps every
+    invariant (chunk size, fuse_chunks, mesh, checkpoint/resume).
+    Quasi-random (Sobol) models instead split via ``index_offset``;
+    reference-parity rng refuses past one segment (its streams are
+    keyed by global path id alone and would repeat).
     """
     t_start = time.perf_counter()
     backend = resolve_backend(options)
@@ -820,7 +860,8 @@ def simulate_stats(
     # chunk_b below never exceeds options.chunk_paths, so this bound is
     # conservative for the uint32 offset-headroom check
     _validate_run(model, n_paths, options.chunk_paths * n_dev, n_periods,
-                  draws_bootstrap=not options.terminal_law)
+                  draws_bootstrap=not options.terminal_law,
+                  seg_paths=options.seed_segment_paths)
     v0f = float(initial_capital)
     if not (v0f > 0.0 and np.isfinite(v0f)):
         raise ValueError(
@@ -869,6 +910,30 @@ def simulate_stats(
         np.inf if target_amount is None else target_amount
     )
     v0 = jnp.float32(initial_capital)
+
+    # --- seed segmentation (runs larger than one segment) -----------------
+    # Lifts the uint32 offset cap: paths are partitioned into fixed
+    # SEG-sized segments, each drawing an independent counter-rng stream
+    # (see EngineOptions.seed_segment_paths). Segment 0 runs under the
+    # plain seed key, so any run that fits in one segment — every
+    # previously-legal run up to 2^31 paths — is bit-identical to the
+    # unsegmented engine. Statistics merge across segments through the
+    # very same exact float64 host merges that combine chunks; Sobol
+    # models are excluded (_validate_run: their split mechanism is
+    # index_offset), reference-parity rng refuses (offset-only streams
+    # would repeat verbatim).
+    SEG = options.seed_segment_paths
+    segmented = n_paths > SEG and not getattr(model, "is_quasi", False)
+    seg = 0
+    base_key = root_key
+    law_operand = scramble_key if options.terminal_law else None
+
+    def _segment_keys(s: int):
+        rk = (base_key if s == 0
+              else jax.random.fold_in(base_key, _SEG_FOLD + s))
+        sk = (law_operand if law_operand is not None
+              else jax.random.fold_in(rk, 0x50B0))
+        return rk, sk
 
     total_stats = red.zero_packed_stats()
     total_hist = np.zeros(spec.n_bins + 2, np.float64)
@@ -973,10 +1038,14 @@ def simulate_stats(
 
             if pallas_engine.prng_impl() != "hw":
                 prng_tag = f"/prng-{pallas_engine.prng_impl()}"
+        # segmented runs sample a SEG-dependent stream family — the tag
+        # keeps a checkpoint from resuming under a different
+        # seed_segment_paths (or under a pre-segmentation build's stream)
+        seg_tag = f"/seg{SEG}" if segmented else ""
         fingerprint = ckpt.config_fingerprint(
             model, strategy, n_paths, n_periods, initial_capital, seed,
             target_amount, spec,
-            f"{backend}/streams3/{eff}{hist_tag}{prng_tag}",
+            f"{backend}/streams3/{eff}{hist_tag}{prng_tag}{seg_tag}",
         )
         state = ckpt.load(checkpoint_path, fingerprint)
         if state is not None:
@@ -985,6 +1054,14 @@ def simulate_stats(
             done = state.paths_done
             offset = state.next_offset
             remaining = n_paths - done
+            if segmented:
+                # every checkpointed chunk except a segment's last is
+                # full-valid, so the within-segment offset is derivable
+                # from the exact valid count — robust to resuming with a
+                # different chunk size (deliberately not fingerprinted)
+                seg, offset = divmod(done, SEG)
+                if seg and remaining > 0:
+                    root_key, scramble_key = _segment_keys(seg)
             if progress is not None:
                 progress(done, n_paths)
 
@@ -997,7 +1074,22 @@ def simulate_stats(
     shift_j = jnp.float32(shift_c)
 
     while remaining > 0:
-        chunks_left = -(-remaining // per_dispatch)
+        if segmented:
+            done_v = n_paths - remaining   # valid paths DISPATCHED so far
+            s_now = done_v // SEG
+            if s_now != seg:
+                # crossed into a fresh segment: offsets restart at 0
+                # under the segment's own keys
+                seg = s_now
+                offset = 0
+                root_key, scramble_key = _segment_keys(seg)
+            # no dispatch may straddle a segment boundary: cap this
+            # iteration's valid paths at the segment's remainder (the
+            # boundary chunk pads exactly like the run-end tail)
+            cap = min(remaining, (seg + 1) * SEG - done_v)
+        else:
+            cap = remaining
+        chunks_left = -(-cap // per_dispatch)
         if fuse_max > 1 and chunks_left >= 2:
             # Fused block: the largest power of two <= min(fuse_max,
             # chunks_left) full-shape chunks in ONE dispatch. Binary
@@ -1016,7 +1108,7 @@ def simulate_stats(
                 _effective_sampler(model, strategy, backend, options),
                 options.histogram, fuse_g=g,
             )
-            tvts = [min(remaining - i * per_dispatch, per_dispatch)
+            tvts = [min(cap - i * per_dispatch, per_dispatch)
                     for i in range(g)]
             np_off1 = np.uint32(offset) + np.uint32(b * n_dev) * np.arange(
                 g, dtype=np.uint32
@@ -1060,7 +1152,7 @@ def simulate_stats(
                 _flush_deferred()
             continue
 
-        this_valid_total = min(remaining, per_dispatch)
+        this_valid_total = min(cap, per_dispatch)
         # Shape policy: a run larger than one dispatch uses ONE fixed chunk
         # shape throughout — the ragged tail is padded with masked paths
         # (<=0.6% wasted compute at default sizes) rather than introducing a

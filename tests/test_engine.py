@@ -323,11 +323,20 @@ def test_terminal_law_accepts_large_bootstrap_table():
 
 
 def test_oversized_n_paths_rejected():
-    with pytest.raises(ValueError, match="uint32"):
-        smmc.simulate_stats(GAUSS, 2**32, 1)
+    # Counter-rng models no longer cap n_paths: seed segmentation
+    # (EngineOptions.seed_segment_paths, tests/test_segments.py) lifts
+    # the old uint32 global-offset error. The hard limits that remain:
     sob = smmc.SobolGaussianReturns.create(4)
     with pytest.raises(ValueError, match="Sobol"):
         smmc.simulate_stats(sob, 2**31 + 8192, 4)
+    ref = smmc.HistoricalBootstrap.from_csv(rng="reference")
+    with pytest.raises(ValueError, match="reference-parity"):
+        smmc.simulate_stats(ref, 2**31 + 8192, 4)
+    with pytest.raises(ValueError, match="headroom"):
+        smmc.simulate_stats(
+            GAUSS, 2**33, 1,
+            options=EngineOptions(seed_segment_paths=1 << 32),
+        )
 
 
 def test_full_withdrawal_histogram_underflow_bin():
