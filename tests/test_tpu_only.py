@@ -522,3 +522,32 @@ def test_arith_stream_matches_cpu_golden(monkeypatch):
         np.testing.assert_allclose(f[:4], np.float32(g["head"]), rtol=rel)
         assert float(np.sum(f, dtype=np.float64)) == pytest.approx(
             g["total"], rel=rel)
+
+
+def test_seed_segmentation_hardware_law():
+    """Segmented terminal-law run on the production Pallas kernels:
+    segment 0 must reproduce the unsegmented prefix (same stats for the
+    first-segment paths), the merged run must carry exact counts, and
+    the mean must sit within CLT noise of the exact bootstrap-law mean.
+    (The full invariance matrix is CPU-tested in tests/test_segments.py;
+    this pins the hardware path end to end.)"""
+    import stock_market_monte_carlo_tpu as smmc
+
+    hist = smmc.HistoricalBootstrap.from_csv()
+    seg = 2 * 2**21
+    n = 5 * 2**21 + 12345  # 3 segments, ragged tail
+    o = _opts(terminal_law=True, seed_segment_paths=seg)
+    r = smmc.simulate_stats(hist, n, 360, seed=7, target_amount=2000.0,
+                            options=o)
+    assert r.moments.n == n
+    assert r.histogram_counts.sum() == n
+    # segment 0 == plain-seed run of seg paths (merged stats additivity:
+    # subtracting the unsegmented prefix's sums must leave a valid
+    # remainder with the right count)
+    r0 = smmc.simulate_stats(hist, seg, 360, seed=7, target_amount=2000.0,
+                             options=_opts(terminal_law=True))
+    rest = np.asarray(r.histogram_counts) - np.asarray(r0.histogram_counts)
+    assert (rest >= 0).all() and rest.sum() == n - seg
+    table = np.asarray(hist.returns_pct, np.float64)
+    exact_mean = 1000.0 * (1.0 + table.mean() / 100.0) ** 360
+    assert abs(r.mean - exact_mean) < 6 * r.std / np.sqrt(n)
