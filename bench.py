@@ -176,7 +176,7 @@ def main():
     n_periods = int(sys.argv[2]) if len(sys.argv) > 2 else 360
 
     def timed(model, sampler="icdf", reps=3, histogram=True,
-              terminal_law=False, chunk_paths=2**24):
+              terminal_law=False, chunk_paths=2**24, n_override=None):
         # 2^24 is the largest chunk the exact-count invariant allows
         # (config.py: on-device f32 counts stay exact integers); 2^25
         # measured ~3% faster for the law kernel in this tunnel-bound
@@ -189,12 +189,13 @@ def main():
         # ragged tail rather than switching shapes)
         smmc.simulate_stats(model, chunk_paths, n_periods, seed=1,
                             target_amount=2000.0, options=opts)
+        n_run = n_paths if n_override is None else n_override
         best, res, rep_times = None, None, []
         for _ in range(reps):  # min-of-N absorbs tunnel jitter (~10%;
             # post-compile processes read 30-40% high — see optimization_log)
             t0 = time.perf_counter()
             res = smmc.simulate_stats(
-                model, n_paths, n_periods, seed=7, target_amount=2000.0,
+                model, n_run, n_periods, seed=7, target_amount=2000.0,
                 options=opts,
             )
             dt = time.perf_counter() - t0
@@ -215,6 +216,16 @@ def main():
                         reps=5)
     gauss = smmc.GaussianReturns()
     t_law_g, res_law_g = timed(gauss, terminal_law=True, reps=5)
+
+    # --- 1e9-path law row: the many-chunk regime where fused dispatch
+    #     (EngineOptions.fuse_chunks) amortizes the ~5-8 ms per-dispatch
+    #     tunnel floor over 60 chunks (blocks 32+16+8+4) — the rate here
+    #     is the framework's sustained throughput, vs the 100M headline
+    #     which carries ~60-80 ms of fixed per-call cost --------------------
+    t_law_1e9 = None
+    if n_paths == 100_000_000:  # only for the standard workload
+        t_law_1e9, _ = timed(hist_model, terminal_law=True, reps=2,
+                             n_override=1_000_000_000)
 
     # --- month-loop engines (structurally like-for-like with the
     #     reference kernel: one draw + one compound per path-month) ------
@@ -265,6 +276,14 @@ def main():
                 t_law_so, 4),
             "elapsed_s_gaussian_terminal_law": round(t_law_g, 4),
             "terminal_law_mean": round(res_law_h.mean, 2),
+            # sustained many-chunk rate (60 fused chunks amortize the
+            # per-dispatch floor and the fixed per-call tunnel cost)
+            **({} if t_law_1e9 is None else {
+                "elapsed_s_historical_terminal_law_1e9": round(
+                    t_law_1e9, 4),
+                "terminal_law_1e9_paths_per_sec": round(
+                    1_000_000_000 / t_law_1e9, 1),
+            }),
             # month-loop engines: the structurally like-for-like rows
             # (per-month draw + compound, as the reference kernel does)
             "elapsed_s_historical_month_loop": round(t_hist, 4),
@@ -301,9 +320,10 @@ def main():
             # round; wall clock carries 5-25% daily tunnel/machine drift
             "device_time": device_time,
             # raw per-rep wall times, order: law hist, law stats-only,
-            # law gaussian, historical month-loop, historical stats-only,
-            # icdf, clt, clt stats-only — tunnel/machine variance is
-            # visible here (see docs/optimization_log.md)
+            # law gaussian, law 1e9 (standard workload only), historical
+            # month-loop, historical stats-only, icdf, clt, clt
+            # stats-only — tunnel/machine variance is visible here (see
+            # docs/optimization_log.md)
             "rep_times_s": all_reps,
         },
     }))

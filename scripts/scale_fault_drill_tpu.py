@@ -69,8 +69,14 @@ def scale_runs(quick: bool):
     n_law = 10_000_000_000 // (10 if quick else 1)
     opts_law = EngineOptions(chunk_paths=2 ** 24, terminal_law=True)
     smmc.simulate_stats(hist, 2 ** 24, 360, seed=1, options=opts_law)  # warm
-    # warm the fused scan lengths this run will use (once per power of 2)
-    smmc.simulate_stats(hist, 6 * 2 ** 24, 360, seed=1, options=opts_law)
+    # Warm-execute every fused scan length the run will use (g =
+    # 64/32/16/8/4 via 124 chunks): the FIRST execution of a scan
+    # program in a process pays a multi-second program load/compile
+    # through the tunnel even on a cache hit — the 2026-08-19 drill
+    # measured 38.9 s for 1e10 when this landed inside the timed region
+    # vs ~3 s warm (experiments/exp_fuse_g_scaling.py: 3.3 ms/chunk
+    # fused vs 16 ms/chunk unfused at 128 chunks).
+    smmc.simulate_stats(hist, 124 * 2 ** 24, 360, seed=1, options=opts_law)
     t0 = time.perf_counter()
     r = smmc.simulate_stats(hist, n_law, 360, seed=7,
                             target_amount=2000.0, options=opts_law)
@@ -206,17 +212,29 @@ def main():
 
     ap = argparse.ArgumentParser()
     ap.add_argument("--quick", action="store_true")
+    ap.add_argument("--skip-fault", action="store_true",
+                    help="re-measure the scale runs only (the fault "
+                         "drill spawns/kills a child process and costs "
+                         "several minutes)")
     args = ap.parse_args()
 
     out = {"quick": args.quick}
-    print("== fault drill (1e9 month-loop, SIGKILL + resume) ==",
-          flush=True)
-    out["fault"] = fault_drill(args.quick)
-    print(json.dumps(out["fault"], indent=1))
+    if args.skip_fault:
+        out["fault"] = None
+    else:
+        print("== fault drill (1e9 month-loop, SIGKILL + resume) ==",
+              flush=True)
+        out["fault"] = fault_drill(args.quick)
+        print(json.dumps(out["fault"], indent=1))
     print("== scale runs ==", flush=True)
     out["scale"] = scale_runs(args.quick)
     print(json.dumps(out["scale"], indent=1))
 
+    if out["fault"] is None and os.path.exists("scale_fault_drill.json"):
+        # --skip-fault re-measures scale only: keep the last fault result
+        with open("scale_fault_drill.json") as f:
+            prev = json.load(f)
+        out["fault"] = prev.get("fault")
     with open("scale_fault_drill.json", "w") as f:
         json.dump(out, f, indent=1)
 
@@ -230,10 +248,11 @@ def main():
         peak_s = f"{peak / 2**30:.2f} GiB" if peak else "n/a"
         print(f"| {name} x360 | {r['n_paths']:.1e} | {r['wall_s']} s | "
               f"{r['paths_per_s'] / 1e9:.2f} B/s | {peak_s} |")
-    print(f"| kill+resume | {fj['n_paths']:.1e} | killed after chunk "
-          f"{fj['killed_after_chunk']}/{fj['chunks_total']}, resumed in "
-          f"{fj['resume_wall_s']} s | identical stats: "
-          f"hist={fj['resumed_equals_control']['histogram']} | |")
+    if fj:
+        print(f"| kill+resume | {fj['n_paths']:.1e} | killed after chunk "
+              f"{fj['killed_after_chunk']}/{fj['chunks_total']}, resumed "
+              f"in {fj['resume_wall_s']} s | identical stats: "
+              f"hist={fj['resumed_equals_control']['histogram']} | |")
 
 
 if __name__ == "__main__":
