@@ -295,3 +295,30 @@ def test_arith_chunk_size_invariance(arith_prng, historical_table):
     np.testing.assert_array_equal(
         smmc.simulate_final_values(m, n, t, seed=9, options=small),
         smmc.simulate_final_values(m, n, t, seed=9, options=big))
+
+
+def test_arith_segmented_sharded_bitexact(arith_prng, mesh8,
+                                          historical_table):
+    """Seed segmentation on the PRODUCTION sliced-rotation kernel with
+    nonzero (arith) streams: segmented sharded finals == segmented
+    single-device bit for bit, the segment-0 prefix equals the
+    unsegmented stream, and segments draw fresh paths. Complements
+    tests/test_segments.py (XLA backend) with the Pallas counter-mode
+    path at full fidelity."""
+    m = smmc.HistoricalBootstrap(jnp.asarray(historical_table))
+    seg = 2 * KEY_TILE
+    n, t = 5 * KEY_TILE + 777, 5  # 3 segments, ragged tail
+    opts = EngineOptions(backend="pallas", chunk_paths=KEY_TILE,
+                         seed_segment_paths=seg)
+    single = smmc.simulate_final_values(m, n, t, seed=2, options=opts)
+    sharded = smmc.simulate_final_values(m, n, t, seed=2, options=opts,
+                                         mesh=mesh8)
+    assert np.std(np.asarray(single)) > 0  # nonzero stream, not the stub
+    np.testing.assert_array_equal(single, sharded)
+    plain = smmc.simulate_final_values(
+        m, seg, t, seed=2,
+        options=EngineOptions(backend="pallas", chunk_paths=KEY_TILE))
+    np.testing.assert_array_equal(np.asarray(single)[:seg],
+                                  np.asarray(plain))
+    assert not np.array_equal(np.asarray(single)[seg:2 * seg],
+                              np.asarray(single)[:seg])
