@@ -1,0 +1,95 @@
+"""In-process interleaved A/B of the law stats kernel at group 32 vs 64.
+
+optimization_log v24 flipped the default to 32 (+17% over 16, clean
+fresh-process min-of-5) and left group 64 untried on hardware (its body
+took 6m41 to compile on XLA CPU; the remote Mosaic service may be
+faster). This experiment answers it with ONE process (each fresh
+process risks the v23 per-process first-compile stall, 250-710 s):
+
+- warm both kernels (group is an lru_cache key of
+  pallas_engine._build_law_stats_call, so both coexist);
+- interleave timed 100M x 360 historical terminal-law stats+hist runs
+  ABAB... so same-session drift hits both arms equally;
+- assert identical statistics (seeding is per global 8192-path tile —
+  test_law_group_size_invariance — so only f32 association of the
+  moment rows may differ; histogram/count/extrema must be exact).
+
+In-process interleaved deltas are the decision signal per
+docs/profiling.md (absolute walls in a post-compile process read
+30-40% high). A default flip additionally wants a fresh-process
+confirmation (v24 methodology).
+
+Usage (TPU): python experiments/exp_law_group64.py [reps]
+"""
+
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+N_PATHS = 100_000_000
+T = 360
+REPS = int(sys.argv[1]) if len(sys.argv) > 1 else 5
+
+
+def main():
+    import numpy as np
+
+    import stock_market_monte_carlo_tpu as smmc
+    from stock_market_monte_carlo_tpu.config import EngineOptions
+    from stock_market_monte_carlo_tpu.ops import pallas_engine as pe
+
+    h = smmc.HistoricalBootstrap.from_csv()
+    opts = EngineOptions(terminal_law=True)
+
+    def with_group(g, fn):
+        old = pe.LAW_GROUP
+        pe.LAW_GROUP = g
+        try:
+            return fn()
+        finally:
+            pe.LAW_GROUP = old
+
+    def run_once():
+        t0 = time.perf_counter()
+        r = smmc.simulate_stats(h, N_PATHS, T, seed=2, options=opts)
+        _ = float(r.mean)  # forced scalar fetch inside the timed region
+        return time.perf_counter() - t0, r
+
+    results = {}
+    for g in (32, 64):
+        print(f"--- warming group {g} (fresh Mosaic compile for 64) ---",
+              flush=True)
+        t0 = time.perf_counter()
+        _, r = with_group(g, lambda: run_once())
+        print(f"group {g}: warm run {time.perf_counter() - t0:.1f}s "
+              f"mean {r.mean:.4f}", flush=True)
+        results[g] = {"res": r, "times": []}
+
+    for rep in range(REPS):
+        for g in (32, 64):
+            dt, r = with_group(g, run_once)
+            results[g]["times"].append(dt)
+            print(f"rep {rep} group {g}: {dt:.4f}s", flush=True)
+
+    r32, r64 = results[32]["res"], results[64]["res"]
+    hist_eq = bool(np.array_equal(np.asarray(r32.histogram_counts),
+                                  np.asarray(r64.histogram_counts)))
+    print(f"identity: hist_equal={hist_eq} "
+          f"mean diff {abs(r32.mean - r64.mean):.3e} "
+          f"std diff {abs(r32.std - r64.std):.3e} "
+          f"min/max eq {r32.min == r64.min}/{r32.max == r64.max} "
+          f"count_below {r32.count_below} vs {r64.count_below}", flush=True)
+    for g in (32, 64):
+        ts = results[g]["times"]
+        print(f"group {g}: min {min(ts):.4f}s median "
+              f"{sorted(ts)[len(ts) // 2]:.4f}s reps "
+              f"{[round(t, 4) for t in ts]}", flush=True)
+    print(f"delta (min32/min64): "
+          f"{min(results[32]['times']) / min(results[64]['times']):.3f}x",
+          flush=True)
+
+
+if __name__ == "__main__":
+    main()
