@@ -74,12 +74,13 @@ def main():
             print(f"rep {rep} group {g}: {dt:.4f}s", flush=True)
 
     r32, r64 = results[32]["res"], results[64]["res"]
+    m32, m64 = r32.moments, r64.moments
     hist_eq = bool(np.array_equal(np.asarray(r32.histogram_counts),
                                   np.asarray(r64.histogram_counts)))
     print(f"identity: hist_equal={hist_eq} "
           f"mean diff {abs(r32.mean - r64.mean):.3e} "
           f"std diff {abs(r32.std - r64.std):.3e} "
-          f"min/max eq {r32.min == r64.min}/{r32.max == r64.max} "
+          f"min/max eq {m32.min == m64.min}/{m32.max == m64.max} "
           f"count_below {r32.count_below} vs {r64.count_below}", flush=True)
     for g in (32, 64):
         ts = results[g]["times"]
