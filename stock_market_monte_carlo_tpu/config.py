@@ -112,9 +112,11 @@ class EngineOptions:
     # Fusing emits the identical per-chunk (stats, histogram) rows
     # stacked, so host float64 merges run in the same order on the same
     # f32 values — results are BIT-IDENTICAL to unfused dispatch.
-    # Blocks are binary-decomposed (largest power of two <= chunks
-    # remaining, capped here), so at most one XLA program per power of
-    # two is compiled and no padded compute is wasted. 0 or 1 disables.
+    # A run dispatches full fuse_chunks-length blocks plus ONE exact-
+    # length tail block (a run of <= fuse_chunks chunks — e.g. the 100M
+    # headline's 6 — is a single device dispatch); at most two scan
+    # lengths compile per run and no padded compute is wasted. 0 or 1
+    # disables.
     fuse_chunks: int = 64
     # Paths per seed segment. simulate_stats runs larger n_paths as a
     # sequence of segments of this size, each drawing from an
@@ -171,9 +173,10 @@ class EngineOptions:
             )
         if not (0 <= self.fuse_chunks <= 64
                 and (self.fuse_chunks & (self.fuse_chunks - 1)) == 0):
-            # power of two keeps the compiled-shape set to at most
-            # log2(cap) scan lengths; the cap bounds per-dispatch device
-            # occupancy (64 x 2^24 = 1.07e9 paths in one dispatch)
+            # the cap bounds per-dispatch device occupancy (64 x 2^24 =
+            # 1.07e9 paths in one dispatch); power-of-two is kept as a
+            # stable public contract (scan lengths are exact-sized per
+            # run regardless, see engine's fused-block dispatch)
             raise ValueError(
                 "fuse_chunks must be a power of two <= 64 (0/1 disables),"
                 f" got {self.fuse_chunks}"

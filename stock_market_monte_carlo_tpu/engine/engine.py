@@ -412,14 +412,17 @@ def _get_chunk_fn(model_kind, strategy_kind, n_periods, chunk_b, spec,
         sampler_key = f"clt-prefix-{pallas_engine.clt_prefix_impl()}"
     ablate_key = ""
     if backend == "pallas":
-        # the roofline-ablation hook (WRONG statistics, timing only) and
-        # the PRNG bit-source are env-resolved at trace time — same
-        # stale-fn hazard for both
+        # the roofline-ablation hook (WRONG statistics, timing only), the
+        # PRNG bit-source, and the law-kernel group width are resolved at
+        # TRACE time — same stale-fn hazard for all of them (the group
+        # omission made the round-4 group-64 A/B silently re-run the
+        # group-32 kernel: ADVICE r4 #1)
         from stock_market_monte_carlo_tpu.ops import pallas_engine
 
         ablate_key = (pallas_engine.hist_ablate_mode(),
                       pallas_engine.prng_impl(),
-                      pallas_engine.clt_finals_free())
+                      pallas_engine.clt_finals_free(),
+                      pallas_engine.LAW_GROUP)
     cache_key = (
         model_kind, strategy_kind, n_periods, chunk_b, spec, keep_finals,
         mesh_key, backend, sampler_key, with_hist, ablate_key, fuse_g,
@@ -976,10 +979,15 @@ def simulate_stats(
         nonlocal total_stats, total_hist, done, deferred_chunks
         if not deferred:
             return
-        s_all, h_all = jax.device_get((
-            jnp.concatenate([d[0] for d in deferred]),
-            jnp.concatenate([d[1] for d in deferred]),
-        ))
+        if len(deferred) == 1:
+            # single fused block (the 100M headline path): fetch the
+            # stacked rows directly — no concatenate dispatch
+            s_all, h_all = jax.device_get((deferred[0][0], deferred[0][1]))
+        else:
+            s_all, h_all = jax.device_get((
+                jnp.concatenate([d[0] for d in deferred]),
+                jnp.concatenate([d[1] for d in deferred]),
+            ))
         metas = [m for d in deferred for m in d[2]]
         for i, (done_after, valid) in enumerate(metas):
             total_stats, total_hist, done = _absorb(
@@ -1091,12 +1099,17 @@ def simulate_stats(
             cap = remaining
         chunks_left = -(-cap // per_dispatch)
         if fuse_max > 1 and chunks_left >= 2:
-            # Fused block: the largest power of two <= min(fuse_max,
-            # chunks_left) full-shape chunks in ONE dispatch. Binary
-            # decomposition compiles at most one scan length per power
-            # of two and never pads (the ragged tail rides the last
-            # chunk's valid mask exactly as in unfused dispatch).
-            g = min(fuse_max, 1 << (chunks_left.bit_length() - 1))
+            # Fused block: when the whole remainder fits under fuse_max
+            # it runs as ONE dispatch (exact scan length g = chunks_left
+            # — the ragged tail rides the last chunk's valid mask, so a
+            # 100M-path headline run is a single device dispatch);
+            # larger runs stream full fuse_max-length blocks and finish
+            # with one exact-length tail block. Compiled scan lengths
+            # per run: at most {fuse_max, tail} — one more XLA program
+            # than the binary decomposition this replaces, for g-1
+            # fewer ~5-8 ms dispatch floors on the tail (measured,
+            # experiments/exp_dispatch_overhead.py).
+            g = min(fuse_max, chunks_left)
         else:
             g = 1
         if g >= 2:

@@ -35,8 +35,9 @@ def _identical(a, b):
     assert a.n_paths == b.n_paths
 
 
-# 11 chunks + ragged tail: binary decomposition 8 + 2 + 1 exercises two
-# fused block sizes AND the unfused single-chunk tail in one run
+# 11 chunks + ragged tail: with fuse_chunks=8 this dispatches one full
+# 8-block plus one exact-length 4-block (ragged tail masked inside it) —
+# both the streaming block size and the exact-tail block in one run
 N_RAGGED = 11 * KEY_TILE + 137
 
 
