@@ -20,7 +20,17 @@ draw + one compound per path-month, exactly what the reference kernel
 does) — are timed alongside; their ratios are in ``extra`` under
 ``vs_baseline_month_loop*``.
 
-Prints ONE JSON line. Usage: python bench.py [n_paths] [n_periods]
+Prints ONE JSON line.
+Usage: python bench.py [n_paths] [n_periods] [--mesh N]
+
+``--mesh N`` runs every workload sharded over an N-device 1-D "paths"
+mesh (parallel/mesh.paths_mesh) — the one-command path to the v5e-8
+north-star row when real multi-chip hardware exists. The JSON then
+reports ``n_chips = N`` and per-chip rates. The plumbing is validated
+end-to-end on the virtual 8-device CPU mesh (tests/test_bench_mesh.py;
+numbers there are meaningless, shape and fields are the contract).
+Device-time/roofline instrumentation is single-chip-only and is skipped
+under a mesh or a non-TPU backend.
 """
 
 import json
@@ -30,6 +40,19 @@ import time
 import jax
 
 BASELINE_PATHS_PER_S = 100_000_000 / 0.13  # RTX 3070 reduceBlock (README)
+
+# --- calibrated roofline model constants (measured; see the cited logs) ---
+# historical sliced-rotation kernel: modeled ~38 arithmetic el-ops + one
+# within-row lane gather (~14 op-equivalents at the calibrated rate) per
+# path-month (docs/optimization_log.md v8c)
+HIST_MODEL_OP_EQ = 52.0
+# CLT chain class floor per 2^24 chunk (docs/optimization_log.md v22):
+# mixing-matmul part is MXU-bound (3 x 3.53 ms at 79% of peak); the rest
+# (draws, shifts, prod, log/exp, histogram) is VPU-bound and rescaled by
+# today's calibrated VPU rate vs the v22 calibration day's 4.05e12
+CLT_FLOOR_MXU_MS = 10.6
+CLT_FLOOR_VPU_MS = {"clt": 17.4, "clt_statsonly": 8.4}
+V8C_VPU_RATE = 4.05e12  # el-ops/s, clean-process calibration (v8c addendum)
 
 
 def _require_live_backend(timeout_s: float = 180.0):
@@ -161,6 +184,48 @@ def _device_times(n_periods, chunk_paths=2**24, k=6, reps=3):
         out[f"{name}_dispatch_tax_ms"] = round(iso * 1000 - ms, 2)
         if floor_ms:
             out[f"{name}_floor_fraction"] = round(floor_ms / ms, 3)
+
+    # --- per-round calibrated roofline (VERDICT r4 item 3) ---------------
+    # Re-measure the machine's sustained serial-chain VPU rate each round
+    # with the v8c calibration kernel pair (experiments/exp_hist_roofline.
+    # make_calib_call; Mosaic-cached after their first compile), then
+    # emit fraction-of-roofline per production kernel so the "85% of the
+    # wall" claims are tracked numbers, not log prose.
+    try:
+        from experiments.exp_hist_roofline import make_calib_call
+
+        cal = {}
+        for n_ops in (16, 48):
+            callc = jax.jit(make_calib_call(n_ops, n_periods, chunk_paths))
+            iscal = jnp.asarray([123], jnp.int32)
+            force([(callc(iscal),)])  # warm
+            best = float("inf")
+            for _ in range(reps):
+                t0 = time.perf_counter()
+                force([(callc(iscal),) for _ in range(k)])
+                best = min(best, time.perf_counter() - t0)
+            cal[n_ops] = best * 1000 / k
+        out["calib16_ms"] = round(cal[16], 2)
+        out["calib48_ms"] = round(cal[48], 2)
+        # marginal rate over the 32 extra chained ops/month
+        vpu_rate = (chunk_paths * n_periods * 32.0
+                    / ((cal[48] - cal[16]) / 1000.0))
+        out["vpu_rate_el_ops_per_s"] = float(f"{vpu_rate:.3e}")
+        hist_pred_ms = (HIST_MODEL_OP_EQ * chunk_paths * n_periods
+                        / vpu_rate * 1000.0)
+        out["historical_predicted_ms_per_chunk"] = round(hist_pred_ms, 2)
+        if out.get("historical_ms_per_chunk"):
+            out["historical_roofline_fraction"] = round(
+                hist_pred_ms / out["historical_ms_per_chunk"], 3)
+        scale = V8C_VPU_RATE / vpu_rate
+        for kname, vpu_ms in CLT_FLOOR_VPU_MS.items():
+            floor = CLT_FLOOR_MXU_MS + vpu_ms * scale
+            out[f"{kname}_class_floor_ms"] = round(floor, 2)
+            meas = out.get(f"{kname}_ms_per_chunk")
+            if meas:
+                out[f"{kname}_roofline_fraction"] = round(floor / meas, 3)
+    except Exception as e:  # roofline is best-effort instrumentation
+        out["roofline_error"] = f"{type(e).__name__}: {e}"
     return out
 
 
@@ -172,8 +237,21 @@ def main():
     import stock_market_monte_carlo_tpu as smmc
     from stock_market_monte_carlo_tpu.config import EngineOptions
 
-    n_paths = int(sys.argv[1]) if len(sys.argv) > 1 else 100_000_000
-    n_periods = int(sys.argv[2]) if len(sys.argv) > 2 else 360
+    argv = list(sys.argv[1:])
+    mesh_n = None
+    if "--mesh" in argv:
+        i = argv.index("--mesh")
+        mesh_n = int(argv[i + 1])
+        del argv[i:i + 2]
+    n_paths = int(argv[0]) if len(argv) > 0 else 100_000_000
+    n_periods = int(argv[1]) if len(argv) > 1 else 360
+
+    mesh = None
+    if mesh_n is not None and mesh_n > 1:
+        from stock_market_monte_carlo_tpu.parallel.mesh import paths_mesh
+
+        mesh = paths_mesh(mesh_n)
+    n_chips = 1 if mesh is None else mesh.size
 
     def timed(model, sampler="icdf", reps=3, histogram=True,
               terminal_law=False, chunk_paths=2**24, n_override=None):
@@ -185,18 +263,20 @@ def main():
                              gaussian_sampler=sampler,
                              histogram=histogram,
                              terminal_law=terminal_law)
-        # warmup compiles the single chunk shape (the engine pads the
-        # ragged tail rather than switching shapes)
-        smmc.simulate_stats(model, chunk_paths, n_periods, seed=1,
-                            target_amount=2000.0, options=opts)
         n_run = n_paths if n_override is None else n_override
+        # warmup at the FULL run shape: compiles the chunk kernel AND the
+        # fused-scan program the timed reps dispatch (a run of
+        # <= fuse_chunks chunks is ONE device dispatch — round 5), so no
+        # rep pays compile
+        smmc.simulate_stats(model, n_run, n_periods, seed=1,
+                            target_amount=2000.0, options=opts, mesh=mesh)
         best, res, rep_times = None, None, []
         for _ in range(reps):  # min-of-N absorbs tunnel jitter (~10%;
             # post-compile processes read 30-40% high — see optimization_log)
             t0 = time.perf_counter()
             res = smmc.simulate_stats(
                 model, n_run, n_periods, seed=7, target_amount=2000.0,
-                options=opts,
+                options=opts, mesh=mesh,
             )
             dt = time.perf_counter() - t0
             rep_times.append(round(dt, 4))
@@ -239,15 +319,17 @@ def main():
     t_clt_so, _ = timed(gauss, "clt", histogram=False)
 
     # honest device-time instrumentation (drift-proof comparisons):
-    # best-effort — the headline must never die on it
-    try:
-        device_time = _device_times(n_periods)
-    except Exception as e:
-        device_time = {"error": f"{type(e).__name__}: {e}"}
+    # best-effort — the headline must never die on it. Single-chip
+    # TPU-only: under a mesh the per-chunk-fn plumbing differs, and on
+    # CPU the pallas interpreters make the numbers meaningless.
+    if mesh is None and jax.default_backend() == "tpu":
+        try:
+            device_time = _device_times(n_periods)
+        except Exception as e:
+            device_time = {"error": f"{type(e).__name__}: {e}"}
+    else:
+        device_time = {"skipped": "mesh or non-tpu backend"}
 
-    # the engine runs single-device when no mesh is passed — the per-chip
-    # rate must NOT divide by other idle visible devices
-    n_chips = 1
     law_rate = n_paths / t_law_h / n_chips
     hist_rate = n_paths / t_hist / n_chips
     gauss_rate = n_paths / min(t_icdf, t_clt) / n_chips

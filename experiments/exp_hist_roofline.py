@@ -57,15 +57,22 @@ def run_ablate(mode: str):
           f"({per_chunk_ms:.1f} ms / 2^24 chunk)")
 
 
-def run_calib(n_ops: int):
+def make_calib_call(n_ops: int, n_periods: int = T, chunk: int = 1 << 24):
+    """The calibration Pallas kernel: production loop shape (64x128 tile,
+    fori+UNROLL=8, hardware-PRNG draw per month) with ``n_ops`` chained
+    int32 VPU ops per month. Timing two n_ops values gives the machine's
+    sustained serial-chain el-op rate (slope) in this exact kernel shape.
+    Shared by the ablation report below and bench.py's per-round roofline
+    fields (the two fixed kernels are Mosaic-cached after their first
+    compile, so the per-round cost is one batched timing)."""
     import jax
     import jax.numpy as jnp
     from jax.experimental import pallas as pl
     from jax.experimental.pallas import tpu as pltpu
 
     UNROLL = 8
-    n_iters = T // UNROLL
-    ntiles = (1 << 24) // 8192
+    n_iters = n_periods // UNROLL
+    ntiles = chunk // 8192
 
     def kernel(iscal, o_ref):
         pid = pl.program_id(0)
@@ -92,7 +99,7 @@ def run_calib(n_ops: int):
         _, total = jax.lax.fori_loop(0, n_iters, body, (x, total))
         o_ref[:] = total
 
-    call = pl.pallas_call(
+    return pl.pallas_call(
         kernel,
         grid=(ntiles,),
         in_specs=[pl.BlockSpec(memory_space=pltpu.SMEM)],
@@ -100,6 +107,12 @@ def run_calib(n_ops: int):
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((ntiles * 64, 128), jnp.float32),
     )
+
+
+def run_calib(n_ops: int):
+    import jax.numpy as jnp
+
+    call = make_calib_call(n_ops)
     iscal = jnp.asarray([123], jnp.int32)
     float(jnp.sum(call(iscal)))  # warm/compile
     best = float("inf")
