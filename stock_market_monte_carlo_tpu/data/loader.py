@@ -24,6 +24,10 @@ import numpy as np
 
 _PKG_DIR = os.path.dirname(os.path.abspath(__file__))
 SYNTHETIC_CSV = os.path.join(_PKG_DIR, "sp500_monthly_returns_synthetic.csv")
+# Adversarial stress fixture (heavy tails, crash clusters, pinned -85%
+# and +120% months, n=97 — below one 128-lane tile): see
+# data/_synthetic.hostile_monthly_returns and tests/test_hostile_table.py
+HOSTILE_CSV = os.path.join(_PKG_DIR, "hostile_monthly_returns.csv")
 # The reference's hard-coded location (examples/benchmark_mc_cpu.cpp:25).
 REFERENCE_CSV_RELPATH = os.path.join("data", "SP500_monthly_returns.csv")
 
