@@ -255,6 +255,7 @@ def visualize(args):
         interactive=(True if getattr(args, "interactive", False) else None),
         live_fan=getattr(args, "live_fan", None),
         fan_frames=getattr(args, "fan_frames", None),
+        gui=getattr(args, "gui", False),
     )
 
 

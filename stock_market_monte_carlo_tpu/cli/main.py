@@ -183,6 +183,14 @@ def main(argv=None):
     p.add_argument("--fan-frames", type=str, default=None, metavar="DIR",
                    help="with --live-fan: also write numbered frame PNGs "
                         "here (an animation of the run)")
+    p.add_argument("--gui", action="store_true",
+                   help="open the interactive WINDOW: live fan + exact "
+                        "partial histogram redrawn during the run, with "
+                        "a target-amount slider recomputing P(below) "
+                        "from the retained histogram (ref ImGui apps: "
+                        "visualize_returns_cpu.cpp:296-434, slider "
+                        ":340-356); headless backends build the window "
+                        "without blocking")
     p.set_defaults(fn=c.visualize)
 
     p = sub.add_parser(

@@ -256,7 +256,8 @@ def live_visualize(n_months: int, n_simulations: int,
                    interactive: Optional[bool] = None,
                    stream_out=None,
                    live_fan: Optional[str] = None,
-                   fan_frames: Optional[str] = None):
+                   fan_frames: Optional[str] = None,
+                   gui: bool = False):
     """``overlay_normal`` adds the CLT normal-pdf curve over the exact
     final-value histogram — what the reference's
     visualize_returns_distribution_gpu_reduceBlock GUI attempted from block
@@ -271,6 +272,14 @@ def live_visualize(n_months: int, n_simulations: int,
     PNG refreshed during the run (the reference GUI's during-run plot,
     visualize_returns_cpu.cpp:372-404 — see viz/live_fan.py); ``fan_frames``
     also collects numbered frame files.
+
+    ``gui=True`` opens the interactive WINDOW (viz/gui.InteractiveWindow):
+    live fan + exact-partial histogram redrawn during the run and a
+    target-amount slider recomputing P(final < target) from the retained
+    histogram on change — the reference's flagship ImGui form
+    (visualize_returns_cpu.cpp:296-434, slider recompute :340-356). On a
+    GUI-less matplotlib backend (Agg) the window is built and fully
+    functional for programmatic events but never blocks.
     """
     import stock_market_monte_carlo_tpu as smmc
     from stock_market_monte_carlo_tpu.viz.plots import fan_chart
@@ -290,14 +299,23 @@ def live_visualize(n_months: int, n_simulations: int,
             target=target, n_curves=min(n_curves, n_simulations),
             out_path=live_fan, frames_dir=fan_frames,
         )
-    if dashboard is not None and fan is not None:
+    window = None
+    if gui:
+        from stock_market_monte_carlo_tpu.viz.gui import InteractiveWindow
+
+        window = InteractiveWindow(
+            model, n_months, initial_capital=1000.0, seed=seed,
+            target=target, n_curves=min(n_curves, n_simulations),
+        )
+    consumers = [c for c in (dashboard, fan, window) if c is not None]
+    if len(consumers) > 1:
         from stock_market_monte_carlo_tpu.viz.live_fan import FanoutStream
 
-        stream = FanoutStream(dashboard, fan)
+        stream = FanoutStream(*consumers)
     else:
-        stream = dashboard if fan is None else fan
+        stream = consumers[0] if consumers else None
     progress = None
-    if not live and fan is None:
+    if not consumers:
         from stock_market_monte_carlo_tpu.engine.progress import (
             TerminalProgress,
         )
@@ -314,6 +332,10 @@ def live_visualize(n_months: int, n_simulations: int,
               + (f" (+ {fan_frames}/)" if fan_frames else ""))
         fan.close()
     print(res.summary())
+    if window is not None:
+        # blocking on a GUI backend; headless (Agg) returns immediately
+        # with the window fully built for programmatic interaction
+        window.show()
 
     # trim the histogram to its occupied range, then decimate; pad the
     # tail group instead of truncating it (dropping it always lost the
