@@ -135,7 +135,21 @@ def _child_run(n_paths: int, ckpt: str):
 
 
 def fault_drill(quick: bool):
-    """SIGKILL a checkpointed hardware run mid-flight; resume; compare."""
+    """SIGKILL a checkpointed hardware run mid-flight; resume; compare.
+
+    Warm-path resume (VERDICT r4 #6): every process in the drill — the
+    killed child, the resuming parent, and the control — runs under the
+    persistent XLA compilation cache (utils/compile_cache,
+    SMMC_COMPILE_CACHE), so the resume measures executable LOADING, not
+    recompilation. The round-4 drill without it paid 111.6 s resume vs a
+    6.1 s control — all compile/first-program cost."""
+    from stock_market_monte_carlo_tpu.utils import compile_cache
+
+    cache_dir = os.environ.setdefault(
+        "SMMC_COMPILE_CACHE", "/tmp/smmc_drill_compile_cache"
+    )
+    compile_cache.enable(cache_dir)  # this (resuming) process too
+
     import stock_market_monte_carlo_tpu as smmc
     from stock_market_monte_carlo_tpu.config import EngineOptions
 
@@ -146,7 +160,8 @@ def fault_drill(quick: bool):
             os.remove(p)
 
     # child must be the ONLY TPU process while it runs: do not touch jax
-    # here between spawn and kill
+    # here between spawn and kill (it inherits SMMC_COMPILE_CACHE and
+    # leaves its compiled executables behind for the resume to load)
     proc = subprocess.Popen(
         [sys.executable, os.path.abspath(__file__), CHILD, str(n), ckpt],
         stdout=subprocess.PIPE, stderr=subprocess.DEVNULL, text=True,
@@ -195,6 +210,7 @@ def fault_drill(quick: bool):
     return {
         "n_paths": n, "chunks_total": total, "killed_after_chunk": killed_at,
         "kill": "SIGKILL (no cleanup)",
+        "compile_cache": cache_dir,
         "resume_wall_s": round(resume_s, 3),
         "control_wall_s": round(control_s, 3),
         "resumed_equals_control": {

@@ -23,8 +23,69 @@ import jax  # noqa: E402
 if not _USE_TPU:
     jax.config.update("jax_platforms", "cpu")
 
+import json  # noqa: E402
+
 import numpy as np  # noqa: E402
 import pytest  # noqa: E402
+
+_REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+
+def pytest_addoption(parser):
+    parser.addoption(
+        "--full", action="store_true", default=False,
+        help="run the full suite including slow-tier tests "
+             "(equivalent: SMMC_FULL=1)",
+    )
+
+
+def pytest_collection_modifyitems(config, items):
+    """Tiered suite (VERDICT r4 item 7): the default ``pytest -q`` run
+    skips tests marked ``slow`` (mesh/interpret-heavy — the full suite
+    costs ~20 min of wall, the fast tier minutes) so build iterations
+    are un-gated. ``--full`` / ``SMMC_FULL=1`` runs everything — the
+    round-end check and CI-rigor runs use that. An explicit ``-m``
+    selection disables the tier filter entirely (the user asked for a
+    specific marker set)."""
+    if (config.getoption("--full") or os.environ.get("SMMC_FULL") == "1"
+            or config.getoption("-m")):
+        return
+    tier_skip = pytest.mark.skip(
+        reason="tier: slow (run with --full or SMMC_FULL=1)"
+    )
+    for item in items:
+        if "slow" in item.keywords:
+            item.add_marker(tier_skip)
+
+
+_skips = []
+
+
+def pytest_runtest_logreport(report):
+    if report.skipped and report.when in ("setup", "call"):
+        reason = (report.longrepr[2]
+                  if isinstance(report.longrepr, tuple)
+                  else str(report.longrepr))
+        _skips.append({"nodeid": report.nodeid,
+                       "reason": reason.removeprefix("Skipped: ")})
+
+
+def pytest_sessionfinish(session, exitstatus):
+    """Skip accounting (VERDICT r4 item 8): with SMMC_SKIP_MANIFEST=1 the
+    run writes SKIPS.json at the repo root — every skipped test and its
+    reason — so a pass->skip regression is visible round over round
+    (checked in by the round-end full-suite run)."""
+    if os.environ.get("SMMC_SKIP_MANIFEST") != "1":
+        return
+    path = os.path.join(_REPO, "SKIPS.json")
+    with open(path, "w") as f:
+        json.dump({
+            "collected": session.testscollected,
+            "exitstatus": int(exitstatus),
+            "n_skipped": len(_skips),
+            "skips": sorted(_skips, key=lambda d: d["nodeid"]),
+        }, f, indent=1)
+        f.write("\n")
 
 
 @pytest.fixture(scope="session")
