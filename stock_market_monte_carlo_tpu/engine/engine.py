@@ -907,8 +907,9 @@ def simulate_stats(
             model, strategy, n_periods, v0f
         )
         # the law operand rides the (otherwise unused) scramble_key slot
-        # so the whole dispatch/mesh/cache machinery is shared verbatim
-        scramble_key = jnp.asarray(law_fit.operand())
+        # so the whole dispatch/mesh/cache machinery is shared verbatim;
+        # the device upload is cached on the (cached) fit
+        scramble_key = law_fit.operand_device()
     target = jnp.float32(
         np.inf if target_amount is None else target_amount
     )

@@ -85,6 +85,20 @@ class TerminalLawFit:
             [np.float32([self.scale]), self.coefs]
         ).astype(np.float32)
 
+    def operand_device(self):
+        """The operand as a device array, uploaded once per fit (fits
+        are cached, so warm simulate_stats calls skip the host->device
+        transfer entirely — it showed up at ~ms scale in the fused
+        single-dispatch headline where everything else is ~tens of ms)."""
+        dev = self.__dict__.get("_operand_device")
+        if dev is None:
+            import jax.numpy as jnp
+
+            dev = jnp.asarray(self.operand())
+            # frozen dataclass: cache via object.__setattr__
+            object.__setattr__(self, "_operand_device", dev)
+        return dev
+
 
 def clenshaw_f32(coefs: np.ndarray, s: np.ndarray) -> np.ndarray:
     """Float32 Clenshaw evaluation of a Chebyshev series — the exact

@@ -39,22 +39,40 @@ def pytest_addoption(parser):
     )
 
 
+def _slow_list():
+    """tests/slow_tests.txt: nodeid prefixes of the slow tier (kept as a
+    data file so re-tiering from a fresh ``--durations`` run never
+    touches test code)."""
+    path = os.path.join(os.path.dirname(__file__), "slow_tests.txt")
+    try:
+        with open(path) as f:
+            return tuple(
+                ln.strip() for ln in f
+                if ln.strip() and not ln.startswith("#")
+            )
+    except OSError:
+        return ()
+
+
 def pytest_collection_modifyitems(config, items):
     """Tiered suite (VERDICT r4 item 7): the default ``pytest -q`` run
-    skips tests marked ``slow`` (mesh/interpret-heavy — the full suite
-    costs ~20 min of wall, the fast tier minutes) so build iterations
-    are un-gated. ``--full`` / ``SMMC_FULL=1`` runs everything — the
-    round-end check and CI-rigor runs use that. An explicit ``-m``
-    selection disables the tier filter entirely (the user asked for a
-    specific marker set)."""
+    skips tests marked ``slow`` or listed in tests/slow_tests.txt
+    (mesh/interpret-heavy — the full suite costs ~20 min of wall, the
+    fast tier minutes) so build iterations are un-gated. ``--full`` /
+    ``SMMC_FULL=1`` runs everything — the round-end check and CI-rigor
+    runs use that. An explicit ``-m`` selection disables the tier
+    filter entirely (the user asked for a specific marker set)."""
     if (config.getoption("--full") or os.environ.get("SMMC_FULL") == "1"
             or config.getoption("-m")):
         return
+    slow = _slow_list()
     tier_skip = pytest.mark.skip(
         reason="tier: slow (run with --full or SMMC_FULL=1)"
     )
     for item in items:
-        if "slow" in item.keywords:
+        nid = item.nodeid
+        if "slow" in item.keywords or any(
+                nid == s or nid.startswith(s + "[") for s in slow):
             item.add_marker(tier_skip)
 
 
