@@ -288,14 +288,15 @@ def main():
     hist_model = smmc.HistoricalBootstrap.from_csv()
 
     # --- headline: terminal-law historical, full stats + histogram ------
-    # law runs finish in ~0.1 s, so their min-of-N is dominated by the
-    # ~20-35 ms tunnel round-trip jitter — 5 reps instead of 3 (costs
-    # under a second total and stabilizes the headline)
-    t_law_h, res_law_h = timed(hist_model, terminal_law=True, reps=5)
+    # law runs finish in ~0.05 s, so their min-of-N is dominated by the
+    # ~20-35 ms tunnel round-trip jitter (per-rep swings of +-30 ms
+    # observed) — 9 reps (costs under a second total and stabilizes the
+    # headline around its ~41-48 ms fixed+device floor)
+    t_law_h, res_law_h = timed(hist_model, terminal_law=True, reps=9)
     t_law_so, _ = timed(hist_model, terminal_law=True, histogram=False,
-                        reps=5)
+                        reps=9)
     gauss = smmc.GaussianReturns()
-    t_law_g, res_law_g = timed(gauss, terminal_law=True, reps=5)
+    t_law_g, res_law_g = timed(gauss, terminal_law=True, reps=9)
 
     # --- 1e9-path law row: the many-chunk regime where fused dispatch
     #     (EngineOptions.fuse_chunks) amortizes the ~5-8 ms per-dispatch

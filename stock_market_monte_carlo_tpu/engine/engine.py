@@ -72,16 +72,25 @@ _SEG_FOLD = 0x5E6C0000
 # ---------------------------------------------------------------------------
 
 
+_GAUSS_LGM_CACHE: dict = {}
+
+
 def log_growth_moments(model) -> Tuple[float, float]:
     """(mean, std) of log((100+r)/100) under the model, computed on host.
 
     Gaussian models use 201-node Gauss–Hermite quadrature (exact to fp
     precision for this smooth integrand); bootstrap models compute the exact
-    discrete moments of the table.
+    discrete moments of the table. The Gaussian branch is cached per
+    (mean, std): generating the 201 quadrature nodes costs a measured
+    ~8 ms, which was most of the gaussian terminal-law headline's gap to
+    the historical row (experiments/exp_headline_overhead.py follow-up).
     """
     if isinstance(model, (GaussianReturns, SobolGaussianReturns)):
         mean = float(np.asarray(model.mean_pct))
         std = float(np.asarray(model.std_pct))
+        hit = _GAUSS_LGM_CACHE.get((mean, std))
+        if hit is not None:
+            return hit
         z, w = np.polynomial.hermite_e.hermegauss(201)
         g = mean + std * z
         g = np.clip(g, -99.99, None)
@@ -89,11 +98,15 @@ def log_growth_moments(model) -> Tuple[float, float]:
         w = w / w.sum()
         mu = float(np.sum(w * f))
         var = float(np.sum(w * f * f) - mu * mu)
-    else:
-        table = np.asarray(model.returns_pct, np.float64)
-        f = np.log((100.0 + np.clip(table, -99.99, None)) / 100.0)
-        mu = float(f.mean())
-        var = float(f.var())
+        out = (mu, float(np.sqrt(max(var, 1e-30))))
+        if len(_GAUSS_LGM_CACHE) > 256:  # unbounded-growth guard
+            _GAUSS_LGM_CACHE.clear()
+        _GAUSS_LGM_CACHE[(mean, std)] = out
+        return out
+    table = np.asarray(model.returns_pct, np.float64)
+    f = np.log((100.0 + np.clip(table, -99.99, None)) / 100.0)
+    mu = float(f.mean())
+    var = float(f.var())
     return mu, float(np.sqrt(max(var, 1e-30)))
 
 
@@ -121,7 +134,9 @@ def analytic_moment_shift(model, strategy, n_periods: int) -> float:
     else:
         table = np.asarray(model.returns_pct, np.float64)
         g = float(1.0 + table.mean() / 100.0)
-    keep = np.asarray(_keep_factors(strategy, n_periods), np.float64)
+    # host-side numpy keep factors: the jnp version costs a ~22 ms
+    # device round trip per call (exp_headline_overhead.py)
+    keep = _keep_factors_np(strategy, n_periods).astype(np.float64)
     with np.errstate(over="ignore", under="ignore"):
         c = float(g ** n_periods * np.prod(keep))
     if not np.isfinite(c):
@@ -223,6 +238,34 @@ def _keep_factors(strategy, n_periods: int):
             "every period"
         )
     return 1.0 - sched[:n_periods] / 100.0
+
+
+def _keep_factors_np(strategy, n_periods: int) -> np.ndarray:
+    """Numpy twin of :func:`_keep_factors` for HOST-side analytics.
+
+    The jnp version materializes a device array, and pulling it back to
+    the host (``np.asarray``) costs a full tunnel round trip (~22 ms
+    measured, experiments/exp_headline_overhead.py) — which, paid by
+    ``analytic_moment_shift`` on every ``simulate_stats`` call, was the
+    single largest fixed cost of the 100M terminal-law headline. Must
+    keep the same f32 keep-fraction rounding as the device path: keep
+    values are computed in float32 exactly as the jnp twin does, then
+    widened — so host analytics see bit-identical keep factors.
+    """
+    if isinstance(strategy, NoWithdrawal):
+        return np.ones((n_periods,), np.float32)
+    if isinstance(strategy, FixedPercentWithdrawal):
+        keep = np.float32(1.0) - np.float32(strategy.percent) / np.float32(
+            100.0)
+        return np.full((n_periods,), keep, np.float32)
+    sched = np.asarray(strategy.percent_schedule, np.float32)
+    if sched.shape[0] < n_periods:
+        raise ValueError(
+            f"percent_schedule has {sched.shape[0]} entries but the run "
+            f"has n_periods={n_periods}; provide a schedule covering "
+            "every period"
+        )
+    return (np.float32(1.0) - sched[:n_periods] / np.float32(100.0))
 
 
 def compound_final(growth, v0, strategy):

@@ -166,9 +166,13 @@ def fit_terminal_law(model, strategy, n_periods: int,
     """
     keep = None
     if strategy.kind != "none":
-        from stock_market_monte_carlo_tpu.engine.engine import _keep_factors
+        # numpy twin: bit-identical f32 keep factors without the device
+        # round trip the jnp version costs (engine._keep_factors_np)
+        from stock_market_monte_carlo_tpu.engine.engine import (
+            _keep_factors_np,
+        )
 
-        keep = np.asarray(_keep_factors(strategy, n_periods), np.float64)
+        keep = _keep_factors_np(strategy, n_periods).astype(np.float64)
 
     # tol is part of the key: a stricter-tol call must re-validate, not
     # inherit a fit that only passed a looser bar

@@ -608,3 +608,26 @@ def test_deferred_flush_bound_identity(monkeypatch):
                             options=opts)  # three mid-run flushes
     np.testing.assert_array_equal(a.histogram_counts, b.histogram_counts)
     assert a.moments == b.moments
+
+
+def test_keep_factors_np_matches_device_twin():
+    """engine._keep_factors_np must be BIT-identical to the traced
+    _keep_factors for every multiplicative strategy — the host analytics
+    (analytic_moment_shift, the terminal-law fit key) switched to the
+    numpy twin to avoid a ~22 ms device round trip per call
+    (experiments/exp_headline_overhead.py); any f32 divergence would
+    silently change the centered power sums."""
+    from stock_market_monte_carlo_tpu.models.strategies import (
+        FixedPercentWithdrawal,
+        NoWithdrawal,
+        VariablePercentWithdrawal,
+    )
+
+    t = 37
+    sched = np.linspace(0.0, 3.7, t).astype(np.float32)
+    for strat in (NoWithdrawal(), FixedPercentWithdrawal(0.37),
+                  VariablePercentWithdrawal(sched)):
+        a = np.asarray(eng._keep_factors(strat, t))
+        b = eng._keep_factors_np(strat, t)
+        np.testing.assert_array_equal(a, b)
+        assert b.dtype == np.float32
