@@ -69,14 +69,16 @@ def scale_runs(quick: bool):
     n_law = 10_000_000_000 // (10 if quick else 1)
     opts_law = EngineOptions(chunk_paths=2 ** 24, terminal_law=True)
     smmc.simulate_stats(hist, 2 ** 24, 360, seed=1, options=opts_law)  # warm
-    # Warm-execute every fused scan length the run will use (g =
-    # 64/32/16/8/4 via 124 chunks): the FIRST execution of a scan
-    # program in a process pays a multi-second program load/compile
-    # through the tunnel even on a cache hit — the 2026-08-19 drill
-    # measured 38.9 s for 1e10 when this landed inside the timed region
-    # vs ~3 s warm (experiments/exp_fuse_g_scaling.py: 3.3 ms/chunk
-    # fused vs 16 ms/chunk unfused at 128 chunks).
-    smmc.simulate_stats(hist, 124 * 2 ** 24, 360, seed=1, options=opts_law)
+    # Warm-execute at the run's OWN shape so every fused scan length it
+    # uses (full 64-blocks AND the exact-length tail block — round 5's
+    # fused dispatch) is compiled before the timed region: the FIRST
+    # execution of a scan program in a process pays a multi-second
+    # program load/compile through the tunnel even on a cache hit. The
+    # 2026-08-19 drill measured 38.9 s for 1e10 with compiles inside
+    # the timed region vs ~3 s warm; the first round-5 run re-learned
+    # it (29.6 s) when a 124-chunk warm no longer covered the run's
+    # exact 21-chunk tail.
+    smmc.simulate_stats(hist, n_law, 360, seed=1, options=opts_law)
     t0 = time.perf_counter()
     r = smmc.simulate_stats(hist, n_law, 360, seed=7,
                             target_amount=2000.0, options=opts_law)
