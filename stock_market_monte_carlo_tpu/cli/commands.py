@@ -327,3 +327,14 @@ def demo_vector_add(args):
     ok = bool(jnp.all(out[:16] == a[:16] + 1))
     print(f"vector_add on {jax.default_backend()}: "
           f"{'OK' if ok else 'MISMATCH'} (n={args.n})")
+
+
+def demo_gui(args):
+    """GUI-toolkit showcase (ref: examples/example_imgui.cpp — the stock
+    ImGui/ImPlot demo window with a small custom panel)."""
+    from stock_market_monte_carlo_tpu.viz.demo import demo_gui as run_demo
+
+    win = run_demo()
+    print(f"demo window: model={win.model_kind} months={int(win.slider.val)}"
+          f" mean={win.result.mean:,.1f} (headless backends return"
+          " immediately)")

@@ -267,6 +267,14 @@ def main(argv=None):
     p.add_argument("--n", type=int, default=1_000_000)
     p.set_defaults(fn=c.demo_vector_add)
 
+    p = sub.add_parser(
+        "demo-gui",
+        help="GUI-toolkit showcase window: every widget kind the "
+             "interactive window uses, wired to a live mini-simulation "
+             "(ref: examples/example_imgui.cpp stock demo)",
+    )
+    p.set_defaults(fn=c.demo_gui)
+
     args = parser.parse_args(argv)
     return args.fn(args)
 

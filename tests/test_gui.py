@@ -86,3 +86,29 @@ def test_gui_cli_flag_headless(tmp_path, capsys):
     assert res.n_paths == 8192
     out = capsys.readouterr().out
     assert "n_simulations: 8192" in out
+
+
+def test_demo_window_widgets_drive_recompute():
+    """`smmc demo-gui` counterpart of the reference's example_imgui
+    stock demo: every widget kind fires its callback programmatically
+    and demonstrably changes the live mini-simulation."""
+    from stock_market_monte_carlo_tpu.viz.demo import DemoWindow
+
+    win = DemoWindow(seed=1)
+    try:
+        m0 = win.result.mean
+        t0 = win.result.n_periods
+        win.slider.set_val(120)            # Slider
+        assert win.result.n_periods == 120 != t0
+        m1 = win.result.mean
+        assert m1 != m0
+        win.button.ax.figure.canvas.draw_idle()
+        win._on_click(None)                # Button (same entry as a click)
+        assert win.clicks == 1 and win.seed == 2
+        win.check.set_active(0)            # CheckButtons -> histogram off
+        assert win.show_hist is False
+        win.radio.set_active(1)            # RadioButtons -> historical
+        assert win.model_kind == "historical"
+        assert win.result.n_paths == DemoWindow.N_PATHS
+    finally:
+        win.close()
