@@ -130,3 +130,20 @@ def test_fused_not_used_with_per_chunk_consumers():
     assert len(seen) >= 12  # one per chunk + final: the slow path ran
     fused = smmc.simulate_stats(GAUSS, N_RAGGED, options=opts, **kw)
     _identical(fused, with_cb)
+
+
+def test_whole_run_is_one_fused_dispatch():
+    """Round 5: a run of <= fuse_chunks chunks must execute as ONE
+    fused block of exactly chunks_left scan steps (the 100M headline's
+    dispatch shape) — pinned by inspecting the chunk-fn cache keys the
+    run creates (fuse_g is the last key element)."""
+    from stock_market_monte_carlo_tpu.engine import engine as eng
+
+    n = 6 * KEY_TILE + 137  # 7 chunks, ragged tail
+    opts = EngineOptions(chunk_paths=KEY_TILE)
+    before = set(eng._CHUNK_FN_CACHE)
+    res = smmc.simulate_stats(GAUSS, n, 9, seed=13, options=opts)
+    created = [k for k in eng._CHUNK_FN_CACHE if k not in before]
+    fuse_gs = sorted(k[-1] for k in created)
+    assert fuse_gs == [7], fuse_gs  # one fused fn, exact length, no g=1
+    assert res.moments.n == n
