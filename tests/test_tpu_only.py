@@ -551,3 +551,33 @@ def test_seed_segmentation_hardware_law():
     table = np.asarray(hist.returns_pct, np.float64)
     exact_mean = 1000.0 * (1.0 + table.mean() / 100.0) ** 360
     assert abs(r.mean - exact_mean) < 6 * r.std / np.sqrt(n)
+
+
+def test_hostile_big_table_hardware():
+    """The sliced-rotation one-gather sampler with a 32749-row table
+    (256 table slices vs the synthetic table's 9) on REAL hardware:
+    until round 5 every hardware run used the ~1127-row table, so the
+    large-k Mosaic lowering of the gather had never executed on the
+    chip. Mean and second moment must match the closed forms
+    E[V_T] = v0 E[g]^T, E[V_T^2] = v0^2 E[g^2]^T within MC tolerance
+    (same contract as test_historical_pallas_matches_table_moments)."""
+    import stock_market_monte_carlo_tpu as smmc
+    from stock_market_monte_carlo_tpu.data._synthetic import (
+        hostile_monthly_returns,
+    )
+
+    table = hostile_monthly_returns(32749)
+    model = smmc.HistoricalBootstrap(table)
+    n, t = 2**22, 60
+    res = smmc.simulate_stats(model, n, t, seed=17, options=_opts())
+    g = 1.0 + table.astype(np.float64) / 100.0
+    mean_a = 1000.0 * g.mean() ** t
+    m2_a = 1000.0 ** 2 * (g * g).mean() ** t
+    var_a = m2_a - mean_a ** 2
+    assert abs(res.mean - mean_a) < 6 * np.sqrt(var_a / n), (
+        res.mean, mean_a)
+    # heavy tails: second moment has huge MC variance — compare std
+    # loosely (the law-level cross-checks run on CPU vs the FFT oracle,
+    # tests/test_hostile_table.py; this pins the hardware gather)
+    assert abs(res.std - np.sqrt(var_a)) / np.sqrt(var_a) < 0.25
+    assert res.histogram_counts.sum() == n
