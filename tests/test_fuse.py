@@ -77,7 +77,8 @@ def test_fused_mesh_identity(mesh8, historical_table):
     the counter-keyed streams is preserved by construction — offsets are
     per-chunk-per-device exactly as in unfused dispatch)."""
     model = smmc.HistoricalBootstrap(jnp.asarray(historical_table))
-    n = 3 * 8 * KEY_TILE + 17  # 3 fused mesh chunks (block of 2 + tail) + rag
+    n = 3 * 8 * KEY_TILE + 17  # 4 mesh chunks (one exact-length fused
+    #                            block of 4; the 17-path rag masked in it)
     kw = dict(n_periods=7, seed=5, target_amount=1500.0)
     opts = EngineOptions(chunk_paths=KEY_TILE)
     sharded_fused = smmc.simulate_stats(
