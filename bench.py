@@ -185,6 +185,42 @@ def _device_times(n_periods, chunk_paths=2**24, k=6, reps=3):
         if floor_ms:
             out[f"{name}_floor_fraction"] = round(floor_ms / ms, 3)
 
+    # --- fused whole-run device time: the headline minus the tunnel ------
+    # One fused scan-of-6 dispatch IS the 100M run (round 5); timing K
+    # of them back-to-back with one forcing fetch amortizes the fetch
+    # round trip, so this is the honest device cost of the whole
+    # headline — what a tunnel-free local host would approach. Tracked
+    # so the "remaining wall is one fetch round trip" claim stays a
+    # number (optimization_log v28).
+    try:
+        g6 = -(-100_000_000 // chunk_paths)
+        fn6 = eng._get_chunk_fn(
+            ("historical", "counter"), strat.kind, n_periods, chunk_paths,
+            spec_h, False, None, "pallas", "law", True, fuse_g=g6,
+        )
+        import numpy as _np
+
+        offs = jnp.asarray(
+            _np.uint32(chunk_paths) * _np.arange(g6, dtype=_np.uint32))
+        vals = jnp.asarray(_np.minimum(
+            _np.int64(100_000_000)
+            - _np.int64(chunk_paths) * _np.arange(g6, dtype=_np.int64),
+            chunk_paths).astype(_np.int32))
+
+        def run6():
+            return fn6(h, strat, root, law_op_h, jnp.float32(1000.0),
+                       offs, vals, jnp.float32(jnp.inf), jnp.float32(0.0))
+
+        force([run6()])  # warm
+        best = float("inf")
+        for _ in range(reps):
+            t0 = time.perf_counter()
+            force([run6() for _ in range(k)])
+            best = min(best, time.perf_counter() - t0)
+        out["law_hist_fused_100m_device_ms"] = round(best * 1000 / k, 2)
+    except Exception as e:
+        out["fused_run_error"] = f"{type(e).__name__}: {e}"
+
     # --- per-round calibrated roofline (VERDICT r4 item 3) ---------------
     # Re-measure the machine's sustained serial-chain VPU rate each round
     # with the v8c calibration kernel pair (experiments/exp_hist_roofline.
